@@ -1,0 +1,132 @@
+"""Differential tests: vectorized GCPS graph construction vs the sequential
+oracle simulating the reference's canonical-order execution."""
+
+import numpy as np
+import pytest
+
+from alga_tpu.core import packing
+from alga_tpu.graph import prefsuf
+from tests.oracles import oracle_all_overlaps, oracle_gcps_edges
+
+
+def reads_from_genome(genome, read_len, step):
+    reads = []
+    for p in range(0, len(genome) - read_len + 1, step):
+        reads.append(genome[p : p + read_len])
+    return reads
+
+
+def random_genome(rng, n):
+    return "".join("ACGT"[i] for i in rng.integers(0, 4, size=n))
+
+
+def _find(seqs, ell_min, cap):
+    packed, lengths = packing.pack_strings(seqs)
+    m = prefsuf.find_exact_overlaps(packed, lengths, ell_min, cap)
+    return set(zip(m.src.tolist(), m.dst.tolist(), m.ell.tolist()))
+
+
+def test_find_exact_overlaps_simple_chain(rng):
+    g = random_genome(rng, 120)
+    seqs = [g[0:50], g[30:80], g[60:110]]
+    got = _find(seqs, 10, 500)
+    want = oracle_all_overlaps(seqs, 10, 500)
+    assert got == want
+    assert (0, 1, 20) in got and (1, 2, 20) in got
+
+
+def test_find_exact_overlaps_random_reads(rng):
+    # random genome with a repeat to create many-way overlaps
+    core = random_genome(rng, 60)
+    g = random_genome(rng, 80) + core + random_genome(rng, 70) + core + random_genome(rng, 80)
+    seqs = reads_from_genome(g, 40, 6)
+    got = _find(seqs, 12, 500)
+    want = oracle_all_overlaps(seqs, 12, 500)
+    assert got == want
+
+
+def test_find_exact_overlaps_duplicate_and_contained(rng):
+    g = random_genome(rng, 100)
+    seqs = [g[0:60], g[0:60], g[20:60], g[10:70]]
+    got = _find(seqs, 10, 500)
+    want = oracle_all_overlaps(seqs, 10, 500)
+    assert got == want
+    # read2 is an exact suffix of read0 -> full-length containment match
+    assert (0, 2, 40) in got
+
+
+def test_find_exact_overlaps_cap(rng):
+    g = random_genome(rng, 100)
+    seqs = [g[0:80], g[10:90]]
+    got = _find(seqs, 10, 30)
+    want = oracle_all_overlaps(seqs, 10, 30)
+    assert got == want
+
+
+def _build(seqs, ell_min, cap, rsoe, soes=3):
+    packed, lengths = packing.pack_strings(seqs)
+    g = prefsuf.build_gcps_graph(packed, lengths, len(seqs), ell_min, cap, rsoe, soes)
+    return g.edge_set()
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 4])
+def test_gcps_graph_matches_oracle_random(seed):
+    rng = np.random.default_rng(seed)
+    core = random_genome(rng, 50)
+    g = (random_genome(rng, 100) + core + random_genome(rng, 60)
+         + core + random_genome(rng, 100))
+    seqs = reads_from_genome(g, 45, 5)
+    ell_min, cap, rsoe = 15, 500, 30
+    got = _build(seqs, ell_min, cap, rsoe)
+    want = oracle_gcps_edges(seqs, ell_min, cap, rsoe)
+    assert got == want
+
+
+def test_gcps_graph_dense_overlaps(rng):
+    # step 1 -> every adjacent pair overlaps; exercises ring buffer heavily
+    g = random_genome(rng, 90)
+    seqs = reads_from_genome(g, 30, 1)
+    ell_min, cap, rsoe = 8, 500, 20
+    got = _build(seqs, ell_min, cap, rsoe)
+    want = oracle_gcps_edges(seqs, ell_min, cap, rsoe)
+    assert got == want
+
+
+def test_gcps_graph_with_duplicates(rng):
+    g = random_genome(rng, 150)
+    seqs = reads_from_genome(g, 40, 10)
+    seqs += [seqs[0], seqs[3]]  # exact duplicates
+    ell_min, cap, rsoe = 12, 500, 25
+    got = _build(seqs, ell_min, cap, rsoe)
+    want = oracle_gcps_edges(seqs, ell_min, cap, rsoe)
+    assert got == want
+
+
+def test_gcps_graph_high_rsoe_all_regime1(rng):
+    g = random_genome(rng, 120)
+    seqs = reads_from_genome(g, 40, 8)
+    # rsoe above max read length: everything stays in regime 1 ring
+    got = _build(seqs, 10, 500, 1000)
+    want = oracle_gcps_edges(seqs, 10, 500, 1000)
+    assert got == want
+
+
+def test_gcps_graph_low_rsoe_all_regime2(rng):
+    g = random_genome(rng, 120)
+    seqs = reads_from_genome(g, 40, 8)
+    got = _build(seqs, 10, 500, 10)
+    want = oracle_gcps_edges(seqs, 10, 500, 10)
+    assert got == want
+
+
+def test_gcps_chain_gives_simple_path(rng):
+    # error-free tiling reads of a repeat-free genome must produce a graph
+    # whose min-offset edges form the genome path
+    g = random_genome(rng, 200)
+    seqs = reads_from_genome(g, 50, 10)
+    packed, lengths = packing.pack_strings(seqs)
+    og = prefsuf.build_gcps_graph(packed, lengths, len(seqs), 20, 500, 35)
+    og = og.retain_min_offset()
+    # successive reads overlap by 40 -> offset 10 edges must exist
+    for i in range(len(seqs) - 1):
+        assert (i, i + 1, 10) in og.edge_set()
