@@ -1,0 +1,221 @@
+"""Read ingest + preprocessing (ref: src/IO/InputReader.cpp,
+src/IO/ReadPreprocess.cpp).
+
+Produces the reference's exact read layout:
+  unpaired: [rc(r0), r0, rc(r1), r1, ...]
+  paired:   blocks of 4 [rc(a), a, rc(b), b] for mate pairs (a, b)
+(the reference appends (r, rc) at read time then swaps each pair —
+ref InputReader.cpp:78-80 — so the reverse complement sits at the even id).
+
+Filters (vectorized over a byte matrix instead of per-read loops):
+  * end trim (default 3/3, skipped for reads shorter than trims+10 —
+    ref InputReader.cpp:298-303),
+  * N handling: drop read (+rc) when remove_reads_with_n, else randomize
+    (ref :317-336),
+  * short-tandem-repeat drop: min word period <= 20, computed as
+    "exists p<=20 with s[i]==s[i+p] for all i" instead of per-read KMP
+    (ref :341-353, MyUtils.h:160-171),
+  * U->T for RNA.
+
+Duplicate/prefix-read removal (ref ReadPreprocess::getPrefixReads):
+lexicographic sort of all packed reads (prefix-consistent order), adjacent
+LCP scan marks any read that is a prefix of its successor; strictly shorter
+prefixes also mark their own revcomp (a proper suffix of the longer read).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from alga_tpu.core import packing
+from alga_tpu.core.seqbatch import SeqBatch
+
+
+def detect_format(path: str) -> str:
+    p = path.lower()
+    if p.endswith((".fastq", ".fq")):
+        return "fastq"
+    if p.endswith((".fasta", ".fa", ".pfasta")):
+        return "fasta"
+    return "my_input"   # one sequence per line (ref Params::MY_INPUT)
+
+
+def read_sequences(path: str, fmt: str | None = None) -> list[str]:
+    fmt = fmt or detect_format(path)
+    seqs = []
+    with open(path) as f:
+        if fmt == "fastq":
+            for i, line in enumerate(f):
+                if i % 4 == 1:
+                    seqs.append(line.strip().split(" ")[0])
+        elif fmt == "fasta":
+            # reference reads single-line FASTA records (getline pairs,
+            # ref InputReader.cpp:151-155); tolerate multi-line here
+            cur = []
+            for line in f:
+                line = line.strip()
+                if line.startswith(">"):
+                    if cur:
+                        seqs.append("".join(cur))
+                        cur = []
+                else:
+                    cur.append(line.split(" ")[0])
+            if cur:
+                seqs.append("".join(cur))
+        else:
+            for line in f:
+                s = line.strip().split(" ")[0]
+                if s:
+                    seqs.append(s)
+    return seqs
+
+
+def _min_period_leq(codes: np.ndarray, lengths: np.ndarray, thresh: int) -> np.ndarray:
+    """bool[N]: min word period <= thresh (drops all reads of length <=
+    thresh as a degenerate case, like the reference KMP formula)."""
+    n, lpad = codes.shape
+    lengths = lengths.astype(np.int64)
+    out = np.zeros(n, dtype=bool)
+    cols = np.arange(lpad, dtype=np.int64)[None, :]
+    for p in range(1, thresh + 1):
+        if p >= lpad:
+            out |= lengths <= p
+            continue
+        eq = codes[:, :-p] == codes[:, p:]
+        validc = cols[:, : lpad - p] < (lengths[:, None] - p)
+        out |= np.where(validc, eq, True).all(axis=1)
+    return out
+
+
+def preprocess_reads(seqs: list[str], *, trim_left: int = 3, trim_right: int = 3,
+                     remove_reads_with_n: bool = True, rna: bool = False,
+                     str_period: int = 20, rng_seed: int = 7):
+    """Trim/filter, returning (codes uint8[N, L], lengths, dropped bool[N]).
+
+    dropped[i] marks reads removed by the N or STR filter (the read slot is
+    kept, like the reference's nullptr entries).
+    """
+    n = len(seqs)
+    lengths = np.fromiter((len(s) for s in seqs), dtype=np.int64, count=n)
+    lpad = int(lengths.max()) if n else 0
+    raw = np.zeros((n, lpad), dtype=np.uint8)
+    for i, s in enumerate(seqs):
+        b = np.frombuffer(s.encode("ascii"), dtype=np.uint8)
+        raw[i, : len(b)] = b
+
+    if rna:
+        raw[raw == ord("U")] = ord("T")
+
+    # end trim (ref InputReader.cpp:298-303)
+    do_trim = lengths >= trim_left + trim_right + 10
+    new_len = np.where(do_trim, lengths - trim_left - trim_right, lengths)
+    cols = np.arange(lpad, dtype=np.int64)[None, :]
+    src = cols + np.where(do_trim, trim_left, 0)[:, None]
+    src = np.minimum(src, lpad - 1)
+    trimmed = np.take_along_axis(raw, src, axis=1)
+    trimmed[cols >= new_len[:, None]] = 0
+    lengths = new_len
+
+    has_n = ((trimmed == ord("N")) & (cols < lengths[:, None])).any(axis=1)
+    dropped = np.zeros(n, dtype=bool)
+    if remove_reads_with_n:
+        dropped |= has_n
+    else:
+        rng = np.random.default_rng(rng_seed)
+        pos = np.where((trimmed == ord("N")) & (cols < lengths[:, None]))
+        trimmed[pos] = np.frombuffer(b"ACGT", dtype=np.uint8)[
+            rng.integers(0, 4, size=len(pos[0]))]
+
+    # encode to 2-bit codes
+    lut = np.zeros(256, dtype=np.uint8)
+    lut[ord("C")] = 1
+    lut[ord("G")] = 2
+    lut[ord("T")] = 3
+    codes = lut[trimmed]
+    codes[cols >= lengths[:, None]] = 0
+
+    dropped |= _min_period_leq(codes, lengths, str_period)
+    return codes, lengths, dropped
+
+
+def build_read_batch(file1_seqs: list[str], file2_seqs: list[str] | None = None,
+                     **pre_kwargs) -> SeqBatch:
+    """Assemble the (rc, r) interleaved batch with paired-offset table."""
+    paired = file2_seqs is not None and len(file2_seqs) > 0
+    if paired:
+        assert len(file1_seqs) == len(file2_seqs), "mate files must align"
+
+    c1, l1, d1 = preprocess_reads(file1_seqs, **pre_kwargs)
+    if paired:
+        c2, l2, d2 = preprocess_reads(file2_seqs, **pre_kwargs)
+        lpad = max(c1.shape[1], c2.shape[1])
+        if c1.shape[1] < lpad:
+            c1 = np.pad(c1, ((0, 0), (0, lpad - c1.shape[1])))
+        if c2.shape[1] < lpad:
+            c2 = np.pad(c2, ((0, 0), (0, lpad - c2.shape[1])))
+        m = len(file1_seqs)
+        codes = np.zeros((4 * m, lpad), dtype=np.uint8)
+        lengths = np.zeros(4 * m, dtype=np.int64)
+        dropped = np.zeros(4 * m, dtype=bool)
+        # block [rc(a), a, rc(b), b]
+        codes[1::4] = c1
+        codes[3::4] = c2
+        codes[0::4] = packing.revcomp_codes(c1, l1)
+        codes[2::4] = packing.revcomp_codes(c2, l2)
+        lengths[1::4] = l1
+        lengths[3::4] = l2
+        lengths[0::4] = l1
+        lengths[2::4] = l2
+        dropped[1::4] = d1
+        dropped[3::4] = d2
+        dropped[0::4] = d1
+        dropped[2::4] = d2
+    else:
+        m = len(file1_seqs)
+        lpad = c1.shape[1]
+        codes = np.zeros((2 * m, lpad), dtype=np.uint8)
+        lengths = np.zeros(2 * m, dtype=np.int64)
+        dropped = np.zeros(2 * m, dtype=bool)
+        codes[1::2] = c1
+        codes[0::2] = packing.revcomp_codes(c1, l1)
+        lengths[1::2] = l1
+        lengths[0::2] = l1
+        dropped[1::2] = d1
+        dropped[0::2] = d1
+
+    batch = SeqBatch.from_codes(codes, lengths)
+    batch.valid = ~dropped
+    return batch
+
+
+def mark_prefix_reads(batch: SeqBatch) -> np.ndarray:
+    """bool[N]: reads to remove as duplicates/prefixes of other reads
+    (ref ReadPreprocess::getPrefixReads, mode PREF_READS_ALL_PREFIX_READS).
+    Only valid reads participate."""
+    n = len(batch)
+    marked = np.zeros(n, dtype=bool)
+    ids = np.flatnonzero(batch.valid)
+    if len(ids) == 0:
+        return marked
+    codes = batch.codes()[ids]
+    lengths = batch.lengths[ids].astype(np.int64)
+    lpad = codes.shape[1]
+    # shift to 1..4 with 0-pad so a prefix sorts before its extensions
+    keyed = (codes + 1).astype(np.uint8)
+    cols = np.arange(lpad, dtype=np.int64)[None, :]
+    keyed[cols >= lengths[:, None]] = 0
+    skeys = np.ascontiguousarray(keyed).view(f"S{lpad}").ravel()
+    # tie-break (size, id): memcmp already orders shorter-prefix first for
+    # equal content; equal full content -> stable sort keeps id order
+    order = np.argsort(skeys, kind="stable")
+
+    sc = keyed[order]
+    sl = lengths[order]
+    sid = ids[order]
+    neq = sc[:-1] != sc[1:]
+    first_mismatch = np.where(neq.any(axis=1), neq.argmax(axis=1), lpad)
+    is_prefix = first_mismatch >= sl[:-1]
+    marked[sid[:-1][is_prefix]] = True
+    strict = is_prefix & (sl[:-1] < sl[1:])
+    marked[SeqBatch.revcomp_id(sid[:-1][strict])] = True
+    return marked

@@ -1,0 +1,184 @@
+"""End-to-end assembly orchestration (ref: src/main.cpp:57-779).
+
+Phases (reference boundaries preserved — SURVEY.md §7.1):
+  read input → autotune → [correct] → dedup prefix reads → remap →
+  overlap graph (GCPS) → [LI supplement] → simplify → contract →
+  contigs → consensus → filter → trim → write.
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from alga_tpu.config import AssemblyConfig, TunedConfig, autotune
+from alga_tpu.contig import consensus as consensus_mod
+from alga_tpu.contig import walk as walk_mod
+from alga_tpu.core.seqbatch import SeqBatch
+from alga_tpu.graph import prefsuf, simplify
+from alga_tpu.graph.contract import ContractedGraph, simplify_contract
+from alga_tpu.io import fastx, output
+from alga_tpu.utils.timers import PhaseTimer, contig_stats, emit_metrics
+
+
+def _log(*a):
+    print(*a, file=sys.stderr)
+
+
+@dataclass
+class AssemblyResult:
+    contigs: list
+    cfg: TunedConfig
+    timers: PhaseTimer
+    stats: dict = field(default_factory=dict)
+
+
+def remap_paired_offsets(batch: SeqBatch, paired: bool) -> SeqBatch:
+    """Compact invalid reads away keeping (rc, r) pair structure, and build
+    the paired-offset table (ref main.cpp:150-232).
+
+    Pairs are dropped/kept atomically (upstream filters always invalidate a
+    read together with its revcomp).  For paired input, blocks of 4 keep
+    offsets ±2 when both mate pairs survive.
+    """
+    n = len(batch)
+    valid_pair = batch.valid[0::2] & batch.valid[1::2]
+    keep = np.repeat(valid_pair, 2)
+    # paired offsets before compaction
+    po = np.zeros(n, dtype=np.int8)
+    if paired:
+        vp = valid_pair
+        first_pair = np.arange(0, n, 4)
+        both = vp[first_pair // 2] & vp[first_pair // 2 + 1]
+        for b, ok in zip(first_pair, both):
+            if ok:
+                po[b : b + 2] = 1
+                po[b + 2 : b + 4] = 2
+    batch.paired_offset = po
+    batch.valid &= keep
+    nb, remap = batch.compact()
+    return nb
+
+
+def build_graph_phase(batch: SeqBatch, cfg: TunedConfig, timers: PhaseTimer):
+    """GCPS graph construction incl. the short-read removal of
+    ref main.cpp:253-266."""
+    min_len = cfg.li_kmer_intervals + cfg.li_kmer_length
+    too_short = batch.lengths < min_len
+    batch.valid &= ~too_short
+    if too_short.any():
+        _log(f"removed {int(too_short.sum())} reads shorter than {min_len}")
+
+    with timers.phase("graph_creator_prefsuf"):
+        g = prefsuf.build_gcps_graph(
+            batch.packed, batch.lengths, len(batch),
+            ell_min=cfg.min_overlap_pref_suf,
+            cap=cfg.read_length_cap,
+            rsoe=cfg.rsoe_min_overlap,
+            soes=cfg.soes,
+            align_from=batch.valid,
+            align_to=batch.valid,
+        )
+    g = g.retain_min_offset()
+    _log(f"overlap graph: {g.num_edges} edges over {g.n} reads")
+    return g
+
+
+def assemble(cfg: AssemblyConfig,
+             file1_seqs: list[str] | None = None,
+             file2_seqs: list[str] | None = None) -> AssemblyResult:
+    timers = PhaseTimer()
+    timers.start("total")
+
+    # --- input ------------------------------------------------------------
+    with timers.phase("input_reader"):
+        if file1_seqs is None:
+            file1_seqs = fastx.read_sequences(cfg.file1)
+        if file2_seqs is None and cfg.file2:
+            file2_seqs = fastx.read_sequences(cfg.file2)
+        batch = fastx.build_read_batch(
+            file1_seqs, file2_seqs,
+            trim_left=cfg.read_end_trim_left,
+            trim_right=cfg.read_end_trim_right,
+            remove_reads_with_n=cfg.remove_reads_with_n,
+            rna=cfg.rna,
+            str_period=cfg.str_period_threshold,
+        )
+    _log(f"{batch.count_valid()} valid reads of {len(batch)} slots")
+
+    # --- autotune (ref main.cpp:93-115) ------------------------------------
+    avg_post_trim = batch.avg_read_length()
+    tcfg = autotune(cfg, avg_post_trim)
+    _log(f"autotuned: LEN={tcfg.avg_read_length} "
+         f"min_overlap={tcfg.min_overlap_pref_suf} rsoe={tcfg.rsoe_min_overlap}")
+
+    # --- duplicate / prefix read removal -----------------------------------
+    with timers.phase("read_preprocess"):
+        marked = fastx.mark_prefix_reads(batch)
+        batch.valid &= ~marked
+    _log(f"{int(marked.sum())} prefix/duplicate reads removed")
+
+    # --- remap to dense ids -------------------------------------------------
+    batch = remap_paired_offsets(batch, paired=bool(file2_seqs))
+    _log(f"{len(batch)} reads after remap")
+
+    # --- overlap graph ------------------------------------------------------
+    g = build_graph_phase(batch, tcfg, timers)
+
+    # isolated reads out (ref main.cpp:358-359)
+    iso = g.isolated_nodes()
+    batch.valid &= ~iso
+
+    # --- simplify -----------------------------------------------------------
+    with timers.phase("graph_simplifier"):
+        avg_len = batch.avg_read_length()
+        g = simplify.simplify_graph_old(
+            g, avg_len, tcfg.max_offset_parallel_paths,
+            tcfg.max_offset_dangling_branches, log=_log)
+    batch.valid &= ~g.isolated_nodes()
+
+    with timers.phase("contract"):
+        cg = ContractedGraph(g.retain_min_offset())
+        for _ in range(2):
+            cg.set_edges(cg.to_overlap_graph().retain_min_offset())
+            simplify_contract(cg, tcfg.max_offset_parallel_paths, log=_log)
+        cg.set_edges(cg.to_overlap_graph().retain_min_offset())
+
+    # --- contigs ------------------------------------------------------------
+    with timers.phase("contig_creator"):
+        reliable = walk_mod.mark_reliable_predecessors(
+            cg, batch, paired=bool(file2_seqs),
+            avg_read_length=batch.avg_read_length(),
+            min_paired_connections=tcfg.min_paired_connections,
+            max_insert_size=tcfg.max_length_of_insert_size)
+        contigs = walk_mod.get_all_contigs(
+            cg, batch, tcfg.contig_min_output_length, reliable)
+    _log(f"{len(contigs)} contigs before filtering")
+
+    with timers.phase("consensus"):
+        consensus_mod.correct_all(contigs, batch)
+
+    with timers.phase("filter"):
+        contigs = output.filter_contigs(
+            contigs, len(batch), tcfg.contig_min_output_length,
+            tcfg.new_reads_per_contig_percentage)
+    _log(f"{len(contigs)} contigs after filtering")
+
+    with timers.phase("trim"):
+        output.trim_contigs(contigs, threshold=tcfg.trim_threshold,
+                            read_cap=tcfg.read_length_cap)
+
+    timers.stop("total")
+    stats = contig_stats([len(c) for c in contigs])
+    stats["phase_seconds"] = timers.report()
+    emit_metrics(stats)
+    return AssemblyResult(contigs, tcfg, timers, stats)
+
+
+def assemble_to_file(cfg: AssemblyConfig, **kw) -> AssemblyResult:
+    res = assemble(cfg, **kw)
+    output.write_contigs(res.contigs, cfg.output, rna=cfg.rna)
+    _log(f"wrote {len(res.contigs)} contigs to {cfg.output}")
+    return res

@@ -158,3 +158,44 @@ def oracle_dangling(n, edges, max_offset):
                 to_remove.add((par[v], v))
                 v = par[v]
     return {e for e in edges if (e[0], e[1]) not in to_remove}
+
+
+def oracle_correct_snips(read_seqs, offsets, thr=3):
+    """Sequential Contig::correctSnipsInContig (ref Contig.cpp:33-92).
+
+    read_seqs: sequences of contained reads in order; offsets: offset from
+    previous read (first entry ignored).  Returns corrected contig string.
+    """
+    contained = list(zip(read_seqs, offsets))
+    # sentinel: any read with offset = last read's length (ref :40-41)
+    contained.append(("", len(read_seqs[-1])))
+    correctors = [[read_seqs[0], 0]]
+    s = []
+    freqs = []
+    for i in range(1, len(contained)):
+        offset = contained[i][1]
+        while offset > 0:
+            offset -= 1
+            most = [0, 0, 0, 0]
+            k = len(correctors) - 1
+            while k >= 0:
+                r, ind = correctors[k]
+                if ind >= len(r):
+                    correctors[k] = correctors[-1]
+                    correctors.pop()
+                    k -= 1
+                    continue
+                correctors[k][1] += 1
+                most["ACGT".index(r[ind])] += 1
+                k -= 1
+            best = max(range(4), key=lambda j: (most[j], -j))
+            freqs.append(most[best])
+            s.append("ACGT"[best])
+        if i < len(contained) - 1:
+            correctors.append([contained[i][0], 0])
+    p, q = 0, len(freqs) - 1
+    while p <= q and freqs[p] <= thr:
+        p += 1
+    while p <= q and freqs[q] <= thr:
+        q -= 1
+    return "".join(s[p : q + 1])

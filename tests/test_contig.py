@@ -1,0 +1,92 @@
+"""Tests for contig walking and consensus."""
+
+import numpy as np
+import pytest
+
+from alga_tpu.contig import consensus as consensus_mod
+from alga_tpu.contig.walk import Contig, get_all_contigs
+from alga_tpu.core.seqbatch import SeqBatch
+from alga_tpu.graph.contract import ContractedGraph
+from alga_tpu.graph.overlap_graph import OverlapGraph
+from tests.oracles import oracle_correct_snips
+
+
+def random_dna(rng, n):
+    return "".join("ACGT"[i] for i in rng.integers(0, 4, size=n))
+
+
+def test_consensus_matches_oracle_random(rng):
+    # random tiling reads with a few injected SNPs
+    for trial in range(5):
+        g = random_dna(rng, 150)
+        reads, offsets = [], []
+        pos = 0
+        prev = 0
+        while pos + 40 <= len(g):
+            r = list(g[pos : pos + 40])
+            if rng.random() < 0.5:
+                i = int(rng.integers(0, 40))
+                r[i] = "ACGT"[int(rng.integers(0, 4))]
+            reads.append("".join(r))
+            offsets.append(pos - prev)
+            prev = pos
+            pos += int(rng.integers(5, 15))
+        offsets[0] = -1
+        want = oracle_correct_snips(reads, offsets)
+
+        batch = SeqBatch.from_strings(reads)
+        ctg = Contig(0, "x" * 100, list(zip(range(len(reads)), offsets)))
+        consensus_mod.correct_snips(ctg, batch)
+        assert ctg.seq == want, f"trial {trial}"
+
+
+def test_consensus_majority_fixes_snp(rng):
+    base = random_dna(rng, 60)
+    # 5 identical reads fully covering; one with a SNP at position 30
+    reads = [base] * 5
+    bad = base[:30] + ("A" if base[30] != "A" else "C") + base[31:]
+    reads = reads[:2] + [bad] + reads[2:]
+    offsets = [-1, 0, 0, 0, 0, 0]
+    batch = SeqBatch.from_strings(reads)
+    ctg = Contig(0, "", list(zip(range(6), offsets)))
+    consensus_mod.correct_snips(ctg, batch)
+    assert ctg.seq == base  # SNP out-voted; coverage 6 > 3 everywhere
+
+
+def test_consensus_low_coverage_trim(rng):
+    # coverage 1 everywhere -> freqs all <= 3 -> fully trimmed
+    r = random_dna(rng, 50)
+    batch = SeqBatch.from_strings([r])
+    ctg = Contig(0, "", [(0, -1)])
+    consensus_mod.correct_snips(ctg, batch)
+    assert ctg.seq == ""
+
+
+def test_walk_single_contracted_edge(rng):
+    # chain 0->1->2 contracted into 0->2; unpaired: one contig per out-edge
+    g = random_dna(rng, 100)
+    reads = [g[0:40], g[20:60], g[40:80]]
+    batch = SeqBatch.from_strings(reads)
+    og = OverlapGraph.from_edges(3, [(0, 1, 20), (1, 2, 20)])
+    cg = ContractedGraph(og)
+    assert cg.contract_path_nodes(threshold=1000) == 1
+    contigs = get_all_contigs(cg, batch, min_output_length=10)
+    assert len(contigs) == 1
+    # contig = 20 bases of read0 + 20 bases of read1 + full read2 = g[0:80]
+    assert contigs[0].seq == g[0:80]
+    assert [r for r, _ in contigs[0].reads] == [0, 1, 2]
+    assert [o for _, o in contigs[0].reads] == [-1, 20, 20]
+
+
+def test_walk_stops_at_fork(rng):
+    g1 = random_dna(rng, 200)
+    reads = [g1[0:40], g1[20:60], g1[40:80], "A" * 40]
+    batch = SeqBatch.from_strings(reads)
+    # fork at node 1: edges to 2 and 3
+    og = OverlapGraph.from_edges(4, [(0, 1, 20), (1, 2, 20), (1, 3, 30)])
+    cg = ContractedGraph(og)
+    contigs = get_all_contigs(cg, batch, min_output_length=10)
+    # walks: 0->1 (stops: no reliable pred), 1->2, 1->3
+    seqs = sorted(c.seq for c in contigs)
+    assert g1[0:20] + g1[20:60] in seqs  # 0->1
+    assert len(contigs) == 3
