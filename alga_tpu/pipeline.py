@@ -13,7 +13,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from alga_tpu.config import AssemblyConfig, TunedConfig, autotune
+from alga_tpu.config import AssemblyConfig, TunedConfig, autotune, supplement_retune
 from alga_tpu.contig import consensus as consensus_mod
 from alga_tpu.contig import walk as walk_mod
 from alga_tpu.core.seqbatch import SeqBatch
@@ -86,6 +86,59 @@ def build_graph_phase(batch: SeqBatch, cfg: TunedConfig, timers: PhaseTimer):
     return g
 
 
+class _AdjAdapter:
+    """Dict adjacency for the sequential PKB loop."""
+
+    def __init__(self, g):
+        self.adj: dict[int, dict[int, int]] = {}
+        for s, d, o in zip(g.src.tolist(), g.dst.tolist(), g.offset.tolist()):
+            self.adj.setdefault(s, {})
+            cur = self.adj[s].get(d)
+            if cur is None or o < cur:
+                self.adj[s][d] = o
+
+    def get_offset(self, a, b):
+        return self.adj.get(a, {}).get(b)
+
+    def add_min(self, a, b, offset):
+        cur = self.get_offset(a, b)
+        if cur is None or offset < cur:
+            self.adj.setdefault(a, {})[b] = offset
+
+    def to_graph(self, n):
+        from alga_tpu.graph.overlap_graph import OverlapGraph
+        src, dst, off = [], [], []
+        for a, d in self.adj.items():
+            for b, o in d.items():
+                src.append(a)
+                dst.append(b)
+                off.append(o)
+        return OverlapGraph(n, np.asarray(src, dtype=np.int32),
+                            np.asarray(dst, dtype=np.int32),
+                            np.asarray(off, dtype=np.int32))
+
+
+def run_supplement(g, batch: SeqBatch, tcfg: TunedConfig):
+    """LI/PKB supplement wiring (ref main.cpp:300-355): only dead ends
+    (alignFrom) and orphan starts (alignTo) participate; parameters are
+    re-tuned per supplement_retune."""
+    from alga_tpu.graph import supplement as supp
+
+    indeg = g.in_degrees()
+    outdeg = g.out_degrees()
+    align_to = (indeg == 0) & (outdeg > 0)
+    align_from = (indeg > 0) & (outdeg == 0)
+    scfg = supplement_retune(tcfg, batch.avg_read_length())
+
+    adapter = _AdjAdapter(g)
+    codes = batch.codes()
+    supp.pkb_supplement(adapter, codes, batch.lengths, batch.lengths, scfg,
+                        align_from, align_to)
+    out = adapter.to_graph(g.n).retain_min_offset()
+    _log(f"supplement: {out.num_edges - g.num_edges:+d} edges")
+    return out
+
+
 def assemble(cfg: AssemblyConfig,
              file1_seqs: list[str] | None = None,
              file2_seqs: list[str] | None = None) -> AssemblyResult:
@@ -126,6 +179,11 @@ def assemble(cfg: AssemblyConfig,
 
     # --- overlap graph ------------------------------------------------------
     g = build_graph_phase(batch, tcfg, timers)
+
+    # --- error-tolerant LI/PKB supplement (ref main.cpp:300-355) ------------
+    if tcfg.use_supplement:
+        with timers.phase("graph_creator_supplement"):
+            g = run_supplement(g, batch, tcfg)
 
     # isolated reads out (ref main.cpp:358-359)
     iso = g.isolated_nodes()

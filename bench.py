@@ -1,0 +1,127 @@
+"""Benchmark harness: end-to-end assembly throughput on the attached device.
+
+Prints ONE JSON line on stdout:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Baseline: reference ALGA (C++/pthreads, -O3, built from /root/reference via
+its Dockerfile recipe) on the SAME deterministic dataset (200kb random
+genome, 40k x 100bp error-free reads, seed 123) measured at 8000 reads/s
+wall (40000 reads / 5.0 s, --threads 32 on the 2-core build host;
+BASELINE.md's 32-core reference figure must be re-measured on a real
+32-core host — this constant is the honest locally-measured anchor).
+
+Secondary kernel metrics go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REF_BASELINE_READS_PER_S = 8000.0   # measured: see module docstring
+
+GENOME_LEN = 200_000
+READ_LEN = 100
+COVERAGE = 20
+SEED = 123
+
+
+def _simulate():
+    comp = str.maketrans("ACGT", "TGCA")
+    rng = np.random.default_rng(SEED)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    genome = bases[rng.integers(0, 4, size=GENOME_LEN)].tobytes().decode()
+    n_reads = GENOME_LEN * COVERAGE // READ_LEN
+    reads = []
+    for _ in range(n_reads):
+        p = int(rng.integers(0, GENOME_LEN - READ_LEN + 1))
+        r = genome[p : p + READ_LEN]
+        if rng.random() < 0.5:
+            r = r.translate(comp)[::-1]
+        reads.append(r)
+    return genome, reads
+
+
+def _kernel_bench():
+    """Device kernel throughput: window hashing + packed verification."""
+    import jax
+    import jax.numpy as jnp
+    from alga_tpu.core import packing
+    from alga_tpu.ops import bitops, hashes
+
+    rng = np.random.default_rng(0)
+    N, L, K = 8192, 112, 55
+    codes = rng.integers(0, 4, size=(N, L)).astype(np.uint8)
+    lengths = np.full(N, L, dtype=np.int64)
+    packed = jnp.asarray(packing.codes_to_packed(codes, lengths))
+    lengths_d = jnp.asarray(lengths)
+    num_windows = L - K + 1
+
+    def run_hash():
+        k, v = hashes.window_kmer_keys(packed, lengths_d, K, num_windows)
+        return jax.block_until_ready(k)
+
+    run_hash()  # compile
+    t0 = time.perf_counter()
+    iters = 10
+    for _ in range(iters):
+        run_hash()
+    dt = time.perf_counter() - t0
+    hashed_bases = N * num_windows * iters  # one rolling step per window
+    gb_hash = hashed_bases / dt / 1e9
+
+    M = 65536
+    a = jnp.asarray(rng.integers(0, N, M).astype(np.int32))
+    b = jnp.asarray(rng.integers(0, N, M).astype(np.int32))
+    s = jnp.asarray(rng.integers(0, L // 2, M).astype(np.int32))
+    l = jnp.asarray((L - np.asarray(s)).astype(np.int32))
+    W = (L + 15) // 16
+
+    def run_verify():
+        return jax.block_until_ready(
+            bitops.overlap_mismatch_count(packed, a, s, b, l, W))
+
+    run_verify()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        run_verify()
+    dt = time.perf_counter() - t0
+    compared = float(np.asarray(l).sum()) * iters
+    gb_cmp = compared / dt / 1e9
+
+    print(f"[bench] window-hash throughput: {gb_hash:.3f} Gbases/s", file=sys.stderr)
+    print(f"[bench] packed-compare throughput: {gb_cmp:.3f} Gbases/s", file=sys.stderr)
+    return gb_hash, gb_cmp
+
+
+def main() -> int:
+    import jax  # noqa: F401  (device init before timing)
+    from alga_tpu.config import AssemblyConfig
+    from alga_tpu.pipeline import assemble
+
+    print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
+    _kernel_bench()
+
+    genome, reads = _simulate()
+    n_reads = len(reads)
+    t0 = time.perf_counter()
+    res = assemble(AssemblyConfig(), file1_seqs=reads)
+    dt = time.perf_counter() - t0
+    reads_per_s = n_reads / dt
+    print(f"[bench] e2e: {n_reads} reads in {dt:.2f}s -> {reads_per_s:.0f} reads/s; "
+          f"contigs={res.stats['count']} n50={res.stats['n50']}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "assembly_reads_per_s",
+        "value": round(reads_per_s, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(reads_per_s / REF_BASELINE_READS_PER_S, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -50,3 +50,27 @@ def test_e2e_genome_with_repeat():
     # contigs must still be exact genome substrings (no chimeras)
     assert all_contigs_align(seqs, genome)
     assert genome_fraction(seqs, genome) > 0.75
+
+
+def test_e2e_with_errors_supplement():
+    rng = np.random.default_rng(5)
+    genome = random_genome(rng, 3000)
+    reads = simulate_single(genome, rng, read_len=100, coverage=30,
+                            error_rate=0.01)
+    res = assemble(AssemblyConfig(error_rate=0.02), file1_seqs=reads)
+    assert res.cfg.use_supplement
+    seqs = [c.seq for c in res.contigs if c.seq != "CCCC"]
+    assert seqs, "no contigs with error reads"
+    # with errors contigs are not exact substrings; check coarse coverage
+    # via shared 31-mers with the genome
+    k = 31
+    gkmers = {genome[i:i+k] for i in range(len(genome) - k + 1)}
+    from tests.simulate import revcomp
+    rc = revcomp(genome)
+    gkmers |= {rc[i:i+k] for i in range(len(rc) - k + 1)}
+    hits = total = 0
+    for s in seqs:
+        for i in range(0, len(s) - k + 1, 7):
+            total += 1
+            hits += s[i:i+k] in gkmers
+    assert total > 0 and hits / total > 0.9, f"kmer identity {hits}/{total}"
