@@ -72,7 +72,8 @@ class OverlapMatches:
 
 def find_exact_overlaps(packed, lengths, ell_min: int, cap: int,
                         align_from=None, align_to=None,
-                        chunk: int = 4_000_000) -> OverlapMatches:
+                        chunk: int = 4_000_000,
+                        codes=None) -> OverlapMatches:
     """Find every exact suffix-prefix overlap of length in [ell_min, cap].
 
     Conditions (matching ref GCPS sweep semantics):
@@ -94,9 +95,7 @@ def find_exact_overlaps(packed, lengths, ell_min: int, cap: int,
     at = np.ones(n, dtype=bool) if align_to is None else np.asarray(align_to, dtype=bool)
 
     num_windows = max_len - k + 1
-    keys_d, valid_d = hashes.window_kmer_keys(packed, lengths, k, num_windows)
-    keys = np.asarray(keys_d)
-    wvalid = np.asarray(valid_d)
+    keys, wvalid = hashes.window_keys(packed, codes, lengths, k, num_windows)
 
     # window (B, p) encodes candidate overlap ell = len_B - p; restrict to
     # ell <= cap  <=>  p >= len_B - cap
@@ -134,8 +133,8 @@ def find_exact_overlaps(packed, lengths, ell_min: int, cap: int,
         B_rep, p_rep, C, ell = B_rep[keep], p_rep[keep], C[keep], ell[keep]
         if len(B_rep) == 0:
             continue
-        ok = np.asarray(bitops.substr_equal(
-            packed, B_rep, p_rep, C, ell, W_verify))
+        ok = bitops.substr_equal_auto(
+            packed, codes, B_rep, p_rep, C, ell, W_verify)
         out_src.append(B_rep[ok])
         out_dst.append(C[ok])
         out_ell.append(ell[ok])
@@ -172,13 +171,14 @@ def build_gcps_graph(packed, lengths, n: int, ell_min: int, cap: int,
                      rsoe: int, soes: int = 3,
                      align_from=None, align_to=None,
                      pair_chunk: int = 4_000_000,
-                     matches: OverlapMatches | None = None) -> OverlapGraph:
+                     matches: OverlapMatches | None = None,
+                     codes=None) -> OverlapGraph:
     """Full GCPS-equivalent graph: orientation src→dst where dst's prefix
     equals src's suffix, offset = len(src) - ell.  Deterministic."""
     lengths = np.asarray(lengths, dtype=np.int64)
     if matches is None:
         matches = find_exact_overlaps(packed, lengths, ell_min, cap,
-                                      align_from, align_to)
+                                      align_from, align_to, codes=codes)
     m = matches
 
     # regime split
@@ -238,9 +238,9 @@ def build_gcps_graph(packed, lengths, n: int, ell_min: int, cap: int,
                         & (lengths[B] + (offA - offB) - lengths[A] >= 0))
                 if cond.any():
                     ci = np.flatnonzero(cond)
-                    okm = np.asarray(bitops.substr_equal(
-                        packed, A[ci], (offA - offB)[ci], B[ci], offB[ci],
-                        W_verify))
+                    okm = bitops.substr_equal_auto(
+                        packed, codes, A[ci], (offA - offB)[ci], B[ci],
+                        offB[ci], W_verify)
                     removed[pair_rep[ci[okm]]] = True
             i = j
 

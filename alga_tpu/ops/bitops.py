@@ -119,3 +119,53 @@ def np_mismatch_count(codes, a_id, a_start, b_id, match_len) -> int:
     a = codes[a_id, a_start : a_start + match_len]
     b = codes[b_id, :match_len]
     return int((a != b).sum())
+
+
+# ----------------------------------------------------------------------------
+# batched host twin + auto dispatch with shape-stable padding
+
+def np_substr_equal_batch(codes, a_ids, a_starts, b_ids, match_lens):
+    """Vectorized numpy twin of substr_equal over a base-code matrix."""
+    a_ids = np.asarray(a_ids, dtype=np.int64)
+    b_ids = np.asarray(b_ids, dtype=np.int64)
+    a_starts = np.asarray(a_starts, dtype=np.int64)
+    match_lens = np.asarray(match_lens, dtype=np.int64)
+    m = len(a_ids)
+    if m == 0:
+        return np.zeros(0, dtype=bool)
+    lmax = max(1, int(match_lens.max()))
+    lpad = codes.shape[1]
+    cols = np.arange(lmax, dtype=np.int64)[None, :]
+    asrc = np.minimum(a_starts[:, None] + cols, lpad - 1)
+    av = codes[a_ids[:, None], asrc]
+    bv = codes[b_ids[:, None], np.minimum(cols, lpad - 1)]
+    ok = (av == bv) | (cols >= match_lens[:, None])
+    return ok.all(axis=1)
+
+
+def _pad_pow2(arr, cap, fill=0):
+    out = np.full(cap, fill, dtype=arr.dtype)
+    out[: len(arr)] = arr
+    return out
+
+
+def substr_equal_auto(packed, codes, a_ids, a_starts, b_ids, match_lens,
+                      num_words: int, min_device_batch: int = 200_000):
+    """Backend dispatch for batched verification: numpy for small batches,
+    device (padded to power-of-two batch so executables are reused) for
+    large ones."""
+    m = len(a_ids)
+    if m == 0:
+        return np.zeros(0, dtype=bool)
+    if m < min_device_batch:
+        if codes is None:
+            from alga_tpu.core import packing
+            codes = packing.packed_to_codes(packed)
+        return np_substr_equal_batch(codes, a_ids, a_starts, b_ids, match_lens)
+    cap = 1 << (m - 1).bit_length()
+    a = _pad_pow2(np.asarray(a_ids, dtype=np.int32), cap)
+    s = _pad_pow2(np.asarray(a_starts, dtype=np.int32), cap)
+    b = _pad_pow2(np.asarray(b_ids, dtype=np.int32), cap)
+    l = _pad_pow2(np.asarray(match_lens, dtype=np.int32), cap)
+    ok = np.asarray(substr_equal(packed, a, s, b, l, num_words))
+    return ok[:m]

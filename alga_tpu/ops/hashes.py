@@ -1,4 +1,4 @@
-"""Rolling polynomial hash kernels over packed 2-bit reads (JAX).
+"""Rolling polynomial hash kernels over packed 2-bit reads.
 
 TPU-first redesign of the reference's per-overlap-length iterative-deepening
 hash sweep (ref: src/GraphCreators/GraphCreatorPrefSuf.cpp:73-126,213-236):
@@ -7,13 +7,18 @@ striped locks, we compute the hash of EVERY length-k window of every read in
 one `lax.scan` (one dispatch), and candidate generation becomes a single
 sort-join of window keys against prefix keys (see graph/prefsuf.py).
 
-Hash: h(window) = sum_j base[j] * 4^j mod p, under two 31-bit primes,
-packed into one int64 key `h1 << 31 | h2`.  The reference's actual moduli
-(10^18+3, 10^9+7 — ref Params.cpp:721, GraphCreatorPrefSuf.h:42) are an
-internal detail; only hash-equality predicates matter, and with ~62 key bits
-collisions are negligible — and we additionally verify every candidate with
-an exact packed-bit comparison (ops/bitops.py), which the reference does not
-(it trusts its double hash, ref GCPS.cpp:385-387).
+Hashing: two independent polynomial hashes modulo 2^32 with odd multipliers
+(natural uint32 wrap-around — no int64 emulation on TPU, unlike the
+reference's 10^18+3 / 10^9+7 moduli, ref Params.cpp:721, GCPS.h:42):
+    h(window) = sum_j code[p+j] * A^(k-1-j)   (mod 2^32)
+Single-base differences can never collide (odd multiplier => A^m odd), and
+every candidate is verified with an exact packed-bit comparison anyway
+(ops/bitops.py) — the reference trusts its double hash (GCPS.cpp:385-387).
+
+The combined 64-bit key (h1 << 32 | h2) is assembled host-side for the
+sort-join.  A vectorized numpy fallback handles small batches and very long
+sequences (contig-trim graphs) where a device dispatch/compile would
+dominate.
 """
 
 from __future__ import annotations
@@ -24,80 +29,141 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-P1 = np.int64(2**31 - 1)       # Mersenne prime
-P2 = np.int64(2**31 - 19)      # prime
-_INV4_P1 = np.int64(pow(4, int(P1) - 2, int(P1)))
-_INV4_P2 = np.int64(pow(4, int(P2) - 2, int(P2)))
+A1 = np.uint32(0x9E3779B1)   # odd multipliers
+A2 = np.uint32(0x85EBCA6B)
 
+M32 = np.uint64(0xFFFFFFFF)
+
+
+def _pows(a: np.uint32, k: int) -> np.ndarray:
+    """[a^(k-1), ..., a, 1] mod 2^32."""
+    out = np.ones(k, dtype=np.uint32)
+    ai = int(a)
+    for i in range(k - 2, -1, -1):
+        out[i] = (int(out[i + 1]) * ai) & 0xFFFFFFFF
+    return out
+
+
+def combine_keys(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    """uint64 key from two uint32 hashes (host side)."""
+    return (h1.astype(np.uint64) << np.uint64(32)) | h2.astype(np.uint64)
+
+
+# ---------------------------------------------------------------------------
+# device kernel
 
 def _base_column(packed, p):
-    """base code of every read at position p (traced scalar)."""
+    """base code of every read at position p (traced scalar), uint32."""
     word = jax.lax.dynamic_slice_in_dim(packed, p >> 4, 1, axis=1)[:, 0]
-    return ((word >> ((p & 15) * 2)) & 3).astype(jnp.int64)
+    return (word >> ((p & 15).astype(jnp.uint32) * 2)) & 3
 
 
 @partial(jax.jit, static_argnums=(2, 3))
-def window_kmer_keys(packed, lengths, k: int, num_windows: int):
-    """Hash every length-k window of every read.
-
-    Returns (keys int64[N, P], valid bool[N, P]) where keys[i, p] hashes
-    read i bases [p, p+k) and valid[i, p] = (p + k <= len_i).
-    P = num_windows (static; pass max_len - k + 1).
-
-    Rolling update over window start p:
-        h(p+1) = (h(p) - base[p]) * inv4 + base[p+k] * 4^(k-1)   (mod m)
-    """
+def window_kmer_keys_u32(packed, lengths, k: int, num_windows: int):
+    """(h1 uint32[N, P], h2 uint32[N, P], valid bool[N, P]):
+    h(i, p) hashes read i bases [p, p+k); valid iff p + k <= len_i."""
     packed = packed.astype(jnp.uint32)
-    lengths = lengths.astype(jnp.int64)
+    lengths = lengths.astype(jnp.int32)
     n = packed.shape[0]
 
-    f1 = jnp.int64(pow(4, k - 1, int(P1)))
-    f2 = jnp.int64(pow(4, k - 1, int(P2)))
+    a1k = jnp.uint32(int(_pows(A1, k + 1)[0]))   # A1^k
+    a2k = jnp.uint32(int(_pows(A2, k + 1)[0]))
+    a1 = jnp.uint32(int(A1))
+    a2 = jnp.uint32(int(A2))
 
-    # initial window [0, k)
+    # initial window [0, k): h = ((code0*A + code1)*A + code2)...
     def init_body(j, carry):
-        h1, h2, g1, g2 = carry
+        h1, h2 = carry
         b = _base_column(packed, j)
-        h1 = (h1 + b * g1) % P1
-        h2 = (h2 + b * g2) % P2
-        return h1, h2, (g1 * 4) % P1, (g2 * 4) % P2
+        return (h1 * a1 + b, h2 * a2 + b)
 
-    zeros = jnp.zeros(n, dtype=jnp.int64)
-    h1, h2, _, _ = jax.lax.fori_loop(
-        0, k, init_body, (zeros, zeros, jnp.int64(1), jnp.int64(1)))
+    zeros = jnp.zeros(n, dtype=jnp.uint32)
+    h1, h2 = jax.lax.fori_loop(0, k, init_body, (zeros, zeros))
+
+    max_pos = packed.shape[1] * 16 - 1
 
     def step(carry, p):
         h1, h2 = carry
-        key = (h1 << 31) | h2
+        out = (h1, h2)
         b_out = _base_column(packed, p)
-        b_in = _base_column(packed, jnp.minimum(p + k, packed.shape[1] * 16 - 1))
-        nh1 = (((h1 - b_out) % P1) * _INV4_P1 + b_in * f1) % P1
-        nh2 = (((h2 - b_out) % P2) * _INV4_P2 + b_in * f2) % P2
-        return (nh1, nh2), key
+        b_in = _base_column(packed, jnp.minimum(p + k, max_pos))
+        # h' = h*A + b_in - b_out*A^k
+        nh1 = h1 * a1 + b_in - b_out * a1k
+        nh2 = h2 * a2 + b_in - b_out * a2k
+        return (nh1, nh2), out
 
-    _, keys = jax.lax.scan(step, (h1, h2), jnp.arange(num_windows, dtype=jnp.int64))
-    keys = keys.T  # [N, P]
+    _, (k1, k2) = jax.lax.scan(step, (h1, h2),
+                               jnp.arange(num_windows, dtype=jnp.int32))
+    k1 = k1.T
+    k2 = k2.T
 
-    pos = jnp.arange(num_windows, dtype=jnp.int64)[None, :]
+    pos = jnp.arange(num_windows, dtype=jnp.int32)[None, :]
     valid = pos + k <= lengths[:, None]
-    return keys, valid
+    return k1, k2, valid
 
 
-def prefix_kmer_keys(packed, lengths, k: int):
-    """Hash of the first k bases of every read (= window at p=0)."""
-    keys, valid = window_kmer_keys(packed, lengths, k, 1)
-    return keys[:, 0], valid[:, 0]
+# ---------------------------------------------------------------------------
+# host (numpy) implementation — same values, for small/long inputs
+
+def np_window_kmer_keys(codes: np.ndarray, lengths: np.ndarray, k: int,
+                        num_windows: int):
+    """Vectorized numpy twin of window_kmer_keys_u32 over a base-code
+    matrix uint8[N, L]."""
+    n, lpad = codes.shape
+    lengths = np.asarray(lengths, dtype=np.int64)
+    c = codes.astype(np.uint32)
+    if lpad < k + num_windows:
+        c = np.pad(c, ((0, 0), (0, k + num_windows - lpad)))
+
+    a1k = _pows(A1, k + 1)[0]
+    a2k = _pows(A2, k + 1)[0]
+
+    h1 = np.zeros(n, dtype=np.uint32)
+    h2 = np.zeros(n, dtype=np.uint32)
+    for j in range(k):
+        h1 = h1 * A1 + c[:, j]
+        h2 = h2 * A2 + c[:, j]
+
+    k1 = np.empty((n, num_windows), dtype=np.uint32)
+    k2 = np.empty((n, num_windows), dtype=np.uint32)
+    for p in range(num_windows):
+        k1[:, p] = h1
+        k2[:, p] = h2
+        h1 = h1 * A1 + c[:, p + k] - c[:, p] * a1k
+        h2 = h2 * A2 + c[:, p + k] - c[:, p] * a2k
+
+    pos = np.arange(num_windows, dtype=np.int64)[None, :]
+    valid = pos + k <= lengths[:, None]
+    return k1, k2, valid
+
+
+def window_keys(packed: np.ndarray, codes_or_none, lengths, k: int,
+                num_windows: int, prefer_device: bool | None = None):
+    """Dispatch device/host hashing; returns (key uint64[N, P], valid).
+
+    Device wins for large batches of short reads; host wins when the batch
+    is tiny or sequences are very long (scan length = num_windows would
+    dominate compile time)."""
+    n = packed.shape[0] if packed is not None else codes_or_none.shape[0]
+    if prefer_device is None:
+        prefer_device = (n * num_windows >= 1 << 21) and (num_windows <= 4096)
+    if prefer_device and packed is not None:
+        k1, k2, valid = window_kmer_keys_u32(packed, np.asarray(lengths), k, num_windows)
+        k1, k2, valid = np.asarray(k1), np.asarray(k2), np.asarray(valid)
+    else:
+        if codes_or_none is None:
+            from alga_tpu.core import packing
+            codes_or_none = packing.packed_to_codes(packed)
+        k1, k2, valid = np_window_kmer_keys(codes_or_none, lengths, k, num_windows)
+    return combine_keys(k1, k2), valid
 
 
 def np_window_hash(codes_row: np.ndarray, p: int, k: int) -> int:
     """Oracle: direct (non-rolling) window hash for tests."""
     h1 = 0
     h2 = 0
-    g1 = g2 = 1
     for j in range(k):
         b = int(codes_row[p + j])
-        h1 = (h1 + b * g1) % int(P1)
-        h2 = (h2 + b * g2) % int(P2)
-        g1 = (g1 * 4) % int(P1)
-        g2 = (g2 * 4) % int(P2)
-    return (h1 << 31) | h2
+        h1 = (h1 * int(A1) + b) & 0xFFFFFFFF
+        h2 = (h2 * int(A2) + b) & 0xFFFFFFFF
+    return (h1 << 32) | h2

@@ -41,9 +41,10 @@ def sharded_candidate_count(mesh: Mesh, packed, lengths, k: int,
     @partial(jax.shard_map, mesh=mesh, check_vma=False,
              in_specs=(P("r", None), P("r")), out_specs=P())
     def step(packed_l, lengths_l):
-        keys, valid = hashes.window_kmer_keys(packed_l, lengths_l, k, num_windows)
+        k1, k2, valid = hashes.window_kmer_keys_u32(packed_l, lengths_l, k, num_windows)
+        keys = (k1.astype(jnp.uint64) << 32) | k2.astype(jnp.uint64)
         pvalid = lengths_l >= k
-        pk = jnp.where(pvalid, keys[:, 0], jnp.iinfo(jnp.int64).max)
+        pk = jnp.where(pvalid, keys[:, 0], jnp.uint64(0xFFFFFFFFFFFFFFFF))
         all_pk = jax.lax.all_gather(pk, "r", tiled=True)
         sorted_pk = jnp.sort(all_pk)
         flat = keys.ravel()

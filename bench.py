@@ -61,8 +61,8 @@ def _kernel_bench():
     num_windows = L - K + 1
 
     def run_hash():
-        k, v = hashes.window_kmer_keys(packed, lengths_d, K, num_windows)
-        return jax.block_until_ready(k)
+        k1, k2, v = hashes.window_kmer_keys_u32(packed, lengths_d, K, num_windows)
+        return jax.block_until_ready(k1)
 
     run_hash()  # compile
     t0 = time.perf_counter()

@@ -19,8 +19,8 @@ def test_window_keys_match_oracle(rng):
     seqs, codes, packed, lengths = _random_batch(rng, 20, 25, 60)
     k = 11
     P = int(lengths.max()) - k + 1
-    keys, valid = hashes.window_kmer_keys(packed, lengths, k, P)
-    keys = np.asarray(keys)
+    k1, k2, valid = hashes.window_kmer_keys_u32(packed, lengths, k, P)
+    keys = hashes.combine_keys(np.asarray(k1), np.asarray(k2))
     valid = np.asarray(valid)
     for i in range(len(seqs)):
         for p in range(P):
@@ -35,8 +35,8 @@ def test_window_keys_equal_iff_windows_equal(rng):
     seqs = ["ACGTACGTACGT", "TTACGTACGAAA"]
     codes, lengths = packing.strings_to_codes(seqs)
     packed = packing.codes_to_packed(codes, lengths)
-    keys, valid = hashes.window_kmer_keys(packed, lengths, 6, 7)
-    keys = np.asarray(keys)
+    k1, k2, _ = hashes.window_kmer_keys_u32(packed, lengths, 6, 7)
+    keys = hashes.combine_keys(np.asarray(k1), np.asarray(k2))
     # read0 windows at p=0 and p=4 are both "ACGTAC"
     assert keys[0, 0] == keys[0, 4]
     # read1 window at p=2 is "ACGTAC" too
@@ -47,11 +47,22 @@ def test_window_keys_equal_iff_windows_equal(rng):
 def test_prefix_keys(rng):
     seqs, codes, packed, lengths = _random_batch(rng, 10, 30, 50)
     k = 21
-    pk, pv = hashes.prefix_kmer_keys(packed, lengths, k)
-    pk, pv = np.asarray(pk), np.asarray(pv)
+    P = int(lengths.max()) - k + 1
+    keys, pv = hashes.window_keys(packed, codes, lengths, k, P)
     for i in range(10):
-        assert pv[i] == (lengths[i] >= k)
-        assert pk[i] == hashes.np_window_hash(codes[i], 0, k)
+        assert pv[i, 0] == (lengths[i] >= k)
+        assert keys[i, 0] == hashes.np_window_hash(codes[i], 0, k)
+
+
+def test_np_window_keys_match_device(rng):
+    seqs, codes, packed, lengths = _random_batch(rng, 15, 25, 60)
+    k = 13
+    P = int(lengths.max()) - k + 1
+    k1, k2, v1 = hashes.window_kmer_keys_u32(packed, lengths, k, P)
+    n1, n2, v2 = hashes.np_window_kmer_keys(codes, lengths, k, P)
+    np.testing.assert_array_equal(np.asarray(k1), n1)
+    np.testing.assert_array_equal(np.asarray(k2), n2)
+    np.testing.assert_array_equal(np.asarray(v1), v2)
 
 
 def test_substr_equal_random(rng):

@@ -31,8 +31,9 @@ def test_sharded_count_matches_single_device(mesh8, rng):
         mesh8, jnp.asarray(packed), jnp.asarray(lengths), k, num_windows))
 
     # single-device oracle: same join logic
-    keys, valid = hashes.window_kmer_keys(packed, lengths, k, num_windows)
-    keys, valid = np.asarray(keys), np.asarray(valid)
+    k1, k2, valid = hashes.window_kmer_keys_u32(packed, lengths, k, num_windows)
+    keys = hashes.combine_keys(np.asarray(k1), np.asarray(k2))
+    valid = np.asarray(valid)
     pk = np.sort(keys[:, 0])
     lo = np.searchsorted(pk, keys.ravel(), "left")
     hi = np.searchsorted(pk, keys.ravel(), "right")
