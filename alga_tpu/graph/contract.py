@@ -22,7 +22,18 @@ from alga_tpu.graph.simplify import cut_triangles
 
 
 class ContractedGraph:
-    """Mutable adjacency + contracted-path map."""
+    """Mutable adjacency + contracted-path map.
+
+    Mutation semantics replicate the reference's `Graph` exactly so that
+    downstream iteration order (and therefore contig creation order, which
+    feeds the unstable filter sort) is byte-reproducible:
+      * remove_edge: back-to-front swap-pop (ref Graph.cpp:96-119), and
+        purges the contracted-path entry like removeDirectedEdge does;
+      * add_edge_min: in-place min update or append (ref Graph.cpp:53-71);
+      * retain_min_offset_inplace: per-node sort by (dst, offset) + keep
+        first per dst (ref Graph.cpp:348-387) — the adjacency order in
+        effect when contigs are walked (ref main.cpp:429).
+    """
 
     def __init__(self, g: OverlapGraph):
         self.n = g.n
@@ -30,8 +41,8 @@ class ContractedGraph:
         self.adj: list[list[tuple[int, int]]] = [[] for _ in range(g.n)]
         for s, d, o in zip(gs.src.tolist(), gs.dst.tolist(), gs.offset.tolist()):
             self.adj[s].append((d, o))
-        # (a, c) -> [(n1, w1), ..., (c, wk)] interior hops
-        self.cedges: dict[tuple[int, int], list[tuple[int, int]]] = {}
+        # cedges[a][c] = [(n1, w1), ..., (c, wk)] interior hops
+        self.cedges: list[dict[int, list[tuple[int, int]]]] = [dict() for _ in range(g.n)]
 
     # ------------------------------------------------------------------
 
@@ -48,11 +59,33 @@ class ContractedGraph:
         return any(d == b and o >= offset for d, o in self.adj[a])
 
     def remove_edge(self, a: int, b: int) -> bool:
+        """removeDirectedEdge: back-to-front swap-pop (ref Graph.cpp:96-119);
+        also drops the contracted-path entry (ref :98-102)."""
+        self.cedges[a].pop(b, None)
         la = self.adj[a]
-        nl = [e for e in la if e[0] != b]
-        removed = len(nl) != len(la)
-        self.adj[a] = nl
+        removed = False
+        p = len(la) - 1
+        for i in range(len(la) - 1, -1, -1):
+            if la[i][0] == b:
+                la[i], la[p] = la[p], la[i]
+                la.pop()
+                p -= 1
+                removed = True
         return removed
+
+    def retain_min_offset_inplace(self) -> None:
+        """ref Graph::retainOnlySmallestOffset: per-node sort by
+        (dst, offset), keep first instance per dst."""
+        for i in range(self.n):
+            la = sorted(self.adj[i])
+            out = []
+            p = 0
+            while p < len(la):
+                out.append(la[p])
+                p += 1
+                while p < len(la) and la[p - 1][0] == la[p][0]:
+                    p += 1
+            self.adj[i] = out
 
     def add_edge_min(self, a: int, b: int, offset: int) -> None:
         """addDirectedEdge dedup+min semantics (ref Graph.cpp:53-71)."""
@@ -67,7 +100,7 @@ class ContractedGraph:
 
     def path(self, a: int, b: int) -> list[tuple[int, int]]:
         """ref Graph::getContractedEdgePath (Graph.cpp:486-497)."""
-        p = self.cedges.get((a, b))
+        p = self.cedges[a].get(b)
         if p:
             return p
         w = self.find_weight(a, b)
@@ -96,13 +129,16 @@ class ContractedGraph:
         if self.contains_edge_longer_or_equal(a, c, threshold):
             return False
 
-        path_ab = self.cedges.pop((a, b), None) or [(b, wab)]
-        path_bc = self.cedges.pop((b, c), None) or [(c, wbc)]
+        path_ab = self.cedges[a].pop(b, None) or [(b, wab)]
+        path_bc = self.cedges[b].pop(c, None) or [(c, wbc)]
 
-        self.remove_edge(a, c)
-        self.cedges[(a, c)] = path_ab + path_bc
+        self.remove_edge(a, c)        # purges old (a,c) path too
+        self.cedges[a][c] = path_ab + path_bc
         self.remove_edge(a, b)
+        # clearNode(b): V[b] and every contracted entry sourced at b
+        # (ref Graph.cpp:197-207)
         self.adj[b] = []
+        self.cedges[b] = dict()
         self.add_edge_min(a, c, wabc)
         return True
 
@@ -164,14 +200,35 @@ class ContractedGraph:
             self.adj[s].append((d, o))
 
 
+def cut_triangles_inplace(cg: ContractedGraph, max_offset: int) -> int:
+    """cutNonAndWeaklyMetricTriangles on the mutable adjacency: two-phase —
+    collect (node-id, slot ascending, ref GraphSimplifier.cpp:284-348), then
+    remove in collection order with swap-pop semantics."""
+    to_remove = []
+    for i in range(cg.n):
+        dst = {}
+        for a, w1 in cg.adj[i]:
+            for b, w2 in cg.adj[a]:
+                d = w1 + w2
+                if b not in dst or d < dst[b]:
+                    dst[b] = d
+        for b, w in cg.adj[i]:
+            if w > max_offset:
+                continue
+            if dst.get(b) == w:
+                to_remove.append((i, b))
+    for a, b in to_remove:
+        cg.remove_edge(a, b)
+    return len(to_remove)
+
+
 def simplify_contract(cg: ContractedGraph, max_offset_parallel_paths: int,
                       log=lambda *a: None) -> None:
     """Second-stage simplification (ref GraphSimplifier::simplifyGraph,
     GraphSimplifier.cpp:49-82): alternate triangle cutting and path
     contraction until no contraction happens."""
     while True:
-        g, ncut = cut_triangles(cg.to_overlap_graph(), max_offset_parallel_paths)
-        cg.set_edges(g)
+        ncut = cut_triangles_inplace(cg, max_offset_parallel_paths)
         ncontr = cg.contract_path_nodes(max_offset_parallel_paths)
         log(f"simplify_contract: cut {ncut}, contracted {ncontr}")
         if ncontr == 0:

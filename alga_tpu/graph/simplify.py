@@ -222,19 +222,26 @@ def remove_dangling_upper_branches(g: OverlapGraph, max_offset: int) -> tuple[Ov
     return rg.reverse(), removed
 
 
-def simplify_graph_old(g: OverlapGraph, avg_read_length: float,
+def simplify_graph_old(g: OverlapGraph, batch,
                        max_offset_parallel_paths: int,
                        max_offset_dangling_branches: int,
                        log=lambda *a: None) -> OverlapGraph:
     """Orchestration of the first simplification stage
     (ref GraphSimplifier::simplifyGraphOld, GraphSimplifier.cpp:85-226,
-    GCPS default path)."""
+    GCPS default path).  `batch` is updated in place: isolated reads are
+    invalidated mid-pass exactly where the reference calls
+    removeIsolatedReads, because the average read length that scales the
+    bubble/tip offsets is computed AFTER the triangle cut (ref :117, :179).
+    """
     g, ncut = cut_triangles(g, max_offset_parallel_paths)
     log(f"triangle cut removed {ncut} edges")
+    batch.valid &= ~g.isolated_nodes()
+    avg_read_length = batch.avg_read_length()
 
     mopp_scaled = int(max_offset_parallel_paths * avg_read_length / 100.0)
     g = remove_short_parallel_paths(g, mopp_scaled)
     log("short parallel paths removed")
+    batch.valid &= ~g.isolated_nodes()
     g = g.retain_min_offset()
 
     modb_scaled = int(max_offset_dangling_branches * avg_read_length / 100.0)
@@ -250,4 +257,5 @@ def simplify_graph_old(g: OverlapGraph, avg_read_length: float,
         if iterations >= 16 and removed <= 30:
             # ref early break :212-214 (0-based i >= 15)
             break
+    batch.valid &= ~g.isolated_nodes()
     return g

@@ -9,6 +9,7 @@ from alga_tpu.contig.walk import Contig
 from alga_tpu.core import packing
 from alga_tpu.core.seqbatch import SeqBatch
 from alga_tpu.graph import prefsuf
+from alga_tpu.utils.libstdcxx_sort import libstdcxx_sort
 
 
 def filter_contigs(contigs: list[Contig], n_reads: int,
@@ -20,7 +21,11 @@ def filter_contigs(contigs: list[Contig], n_reads: int,
     >= new_reads_percentage% of its contained reads were not claimed by an
     earlier (longer) contig; passing contigs claim their reads + revcomps."""
     was_in_contig = np.zeros(n_reads, dtype=bool)
-    order = sorted(range(len(contigs)), key=lambda i: -len(contigs[i]))
+    # the reference uses unstable std::sort; equal-length contigs (a contig
+    # and its reverse-complement twin) survive based on the exact introsort
+    # permutation, so replicate it (utils/libstdcxx_sort)
+    order = libstdcxx_sort(list(range(len(contigs))),
+                           lambda i, j: len(contigs[i]) > len(contigs[j]))
     out = []
     new_id = 0
     for i in order:

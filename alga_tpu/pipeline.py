@@ -191,18 +191,18 @@ def assemble(cfg: AssemblyConfig,
 
     # --- simplify -----------------------------------------------------------
     with timers.phase("graph_simplifier"):
-        avg_len = batch.avg_read_length()
         g = simplify.simplify_graph_old(
-            g, avg_len, tcfg.max_offset_parallel_paths,
+            g, batch, tcfg.max_offset_parallel_paths,
             tcfg.max_offset_dangling_branches, log=_log)
-    batch.valid &= ~g.isolated_nodes()
 
     with timers.phase("contract"):
-        cg = ContractedGraph(g.retain_min_offset())
+        # ref main.cpp:412-419: contract loop, then a final
+        # retainOnlySmallestOffset (:429) fixes the walk-time adjacency order
+        cg = ContractedGraph(g)
         for _ in range(2):
-            cg.set_edges(cg.to_overlap_graph().retain_min_offset())
+            cg.retain_min_offset_inplace()
             simplify_contract(cg, tcfg.max_offset_parallel_paths, log=_log)
-        cg.set_edges(cg.to_overlap_graph().retain_min_offset())
+        cg.retain_min_offset_inplace()
 
     # --- contigs ------------------------------------------------------------
     with timers.phase("contig_creator"):

@@ -140,12 +140,22 @@ def test_simplify_contract_full():
     assert cg.path(0, 3) == [(1, 3), (2, 4), (3, 5)]
 
 
+class _StubBatch:
+    def __init__(self, n, avg):
+        import numpy as _np
+        self.valid = _np.ones(n, dtype=bool)
+        self._avg = avg
+
+    def avg_read_length(self):
+        return self._avg
+
+
 def test_simplify_graph_old_smoke(rng):
     n = 60
     edges = random_dag(rng, n, 150, wmax=15)
     g = OverlapGraph.from_edges(n, edges)
     out = simplify.simplify_graph_old(
-        g, avg_read_length=100, max_offset_parallel_paths=250,
+        g, _StubBatch(n, 100), max_offset_parallel_paths=250,
         max_offset_dangling_branches=250)
     # invariant: no equal-distance triangles under the offset bound remain
     # before the dangling stage reintroduces none; smoke: result is a graph
