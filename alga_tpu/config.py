@@ -64,6 +64,10 @@ class AssemblyConfig:
     use_supplement: bool = False   # USE_GRAPH_CREATOR_SUPPLEMENT
                                    # (set when error_rate > 0.01)
 
+    # --- host engine ---
+    use_native: bool = True    # use the C++ host graph engine when built
+                               # (native/alga_host.cpp; Python twin otherwise)
+
     # --- sweep mechanics ---
     read_length_cap: int = 500     # overlap sweep cap (ref: GCPS.cpp:92)
     sweep_chunk_rounds: int = 16   # overlap lengths processed per device dispatch

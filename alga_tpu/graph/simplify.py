@@ -99,12 +99,19 @@ class _Adjacency:
             self.out[s].append((d, o))
 
     def remove_edge(self, a: int, b: int) -> bool:
-        """Remove ALL (a,b) instances (ref Graph::removeDirectedEdge
-        swap-pop removes every match, Graph.cpp:96-119)."""
+        """Remove ALL (a,b) instances via back-to-front swap-pop — the exact
+        reference layout semantics (Graph::removeDirectedEdge,
+        Graph.cpp:96-119); the resulting neighbour ORDER feeds later
+        passes' iteration order, so it must match."""
         la = self.out[a]
-        nl = [e for e in la if e[0] != b]
-        removed = len(nl) != len(la)
-        self.out[a] = nl
+        removed = False
+        p = len(la) - 1
+        for i in range(len(la) - 1, -1, -1):
+            if la[i][0] == b:
+                la[i], la[p] = la[p], la[i]
+                la.pop()
+                p -= 1
+                removed = True
         return removed
 
     def to_graph(self) -> OverlapGraph:

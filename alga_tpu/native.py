@@ -1,0 +1,123 @@
+"""ctypes binding for the native host graph engine (native/alga_host.cpp).
+
+Loads native/libalga_host.so (built via `make -C native`; auto-built on
+first use when a compiler is available).  Falls back to the pure-Python
+twin implementations when unavailable — the Python versions are the
+differential-test oracles and stay authoritative for semantics.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
+_SO = os.path.join(_NATIVE_DIR, "libalga_host.so")
+
+_lib = None
+
+
+def _try_build() -> bool:
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True, timeout=120)
+        return os.path.exists(_SO)
+    except Exception:
+        return False
+
+
+def get_lib():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_SO) and not _try_build():
+        return None
+    lib = ctypes.CDLL(_SO)
+
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+
+    lib.alga_simplify_graph_old.restype = ctypes.c_int64
+    lib.alga_simplify_graph_old.argtypes = [
+        ctypes.c_int32, ctypes.c_int64, i32p, i32p, i32p, u8p, i32p,
+        ctypes.c_int32, ctypes.c_int32, i32p, i32p, i32p]
+
+    lib.alga_contract_and_walk.restype = ctypes.c_int64
+    lib.alga_contract_and_walk.argtypes = [
+        ctypes.c_int32, ctypes.c_int64, i32p, i32p, i32p, u8p, i32p,
+        ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, i8p, ctypes.c_double,
+        ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int64, ctypes.c_int64,
+        i64p, i32p, i32p]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def simplify_graph_old(g, batch, mopp: int, modb: int):
+    """Native twin of alga_tpu.graph.simplify.simplify_graph_old; updates
+    batch.valid in place, returns the simplified OverlapGraph."""
+    from alga_tpu.graph.overlap_graph import OverlapGraph
+
+    lib = get_lib()
+    n = g.n
+    ne = g.num_edges
+    src = np.ascontiguousarray(g.src, dtype=np.int32)
+    dst = np.ascontiguousarray(g.dst, dtype=np.int32)
+    off = np.ascontiguousarray(g.offset, dtype=np.int32)
+    valid = np.ascontiguousarray(batch.valid.astype(np.uint8))
+    lens = np.ascontiguousarray(batch.lengths, dtype=np.int32)
+    out_src = np.empty(ne, dtype=np.int32)
+    out_dst = np.empty(ne, dtype=np.int32)
+    out_off = np.empty(ne, dtype=np.int32)
+    m = lib.alga_simplify_graph_old(n, ne, src, dst, off, valid, lens,
+                                    mopp, modb, out_src, out_dst, out_off)
+    batch.valid &= valid.astype(bool)
+    return OverlapGraph(n, out_src[:m].copy(), out_dst[:m].copy(), out_off[:m].copy())
+
+
+def contract_and_walk(g, batch, mopp: int, min_output_length: int,
+                      paired: bool, min_paired_connections: int,
+                      max_insert_size: int):
+    """Native contraction + walk; returns list of contig read-lists
+    [(read_id, offset), ...] in creation order."""
+    lib = get_lib()
+    n = g.n
+    ne = g.num_edges
+    src = np.ascontiguousarray(g.src, dtype=np.int32)
+    dst = np.ascontiguousarray(g.dst, dtype=np.int32)
+    off = np.ascontiguousarray(g.offset, dtype=np.int32)
+    valid = np.ascontiguousarray(batch.valid.astype(np.uint8))
+    lens = np.ascontiguousarray(batch.lengths, dtype=np.int32)
+    po = np.ascontiguousarray(batch.paired_offset, dtype=np.int8)
+
+    max_contigs = max(1024, 2 * n)
+    cap_reads = max(4096, 4 * (ne + n))
+    while True:
+        indptr = np.zeros(max_contigs + 1, dtype=np.int64)
+        creads = np.empty(cap_reads, dtype=np.int32)
+        coffs = np.empty(cap_reads, dtype=np.int32)
+        nc = lib.alga_contract_and_walk(
+            n, ne, src, dst, off, valid, lens, mopp, min_output_length,
+            1 if paired else 0, po, float(batch.avg_read_length()),
+            min_paired_connections, max_insert_size,
+            max_contigs, cap_reads, indptr, creads, coffs)
+        if nc >= 0:
+            break
+        max_contigs *= 2
+        cap_reads *= 2
+
+    out = []
+    for c in range(nc):
+        a, b = indptr[c], indptr[c + 1]
+        out.append(list(zip(creads[a:b].tolist(), coffs[a:b].tolist())))
+    return out

@@ -189,30 +189,47 @@ def assemble(cfg: AssemblyConfig,
     iso = g.isolated_nodes()
     batch.valid &= ~iso
 
-    # --- simplify -----------------------------------------------------------
+    # --- simplify + contract + walk ----------------------------------------
+    from alga_tpu import native as native_mod
+    use_native = cfg.use_native and native_mod.available()
+
     with timers.phase("graph_simplifier"):
-        g = simplify.simplify_graph_old(
-            g, batch, tcfg.max_offset_parallel_paths,
-            tcfg.max_offset_dangling_branches, log=_log)
+        if use_native:
+            g = native_mod.simplify_graph_old(
+                g, batch, tcfg.max_offset_parallel_paths,
+                tcfg.max_offset_dangling_branches)
+        else:
+            g = simplify.simplify_graph_old(
+                g, batch, tcfg.max_offset_parallel_paths,
+                tcfg.max_offset_dangling_branches, log=_log)
 
-    with timers.phase("contract"):
-        # ref main.cpp:412-419: contract loop, then a final
-        # retainOnlySmallestOffset (:429) fixes the walk-time adjacency order
-        cg = ContractedGraph(g)
-        for _ in range(2):
+    if use_native:
+        with timers.phase("contract_walk_native"):
+            read_lists = native_mod.contract_and_walk(
+                g, batch, tcfg.max_offset_parallel_paths,
+                tcfg.contig_min_output_length, paired=bool(file2_seqs),
+                min_paired_connections=tcfg.min_paired_connections,
+                max_insert_size=tcfg.max_length_of_insert_size)
+            contigs = [walk_mod.Contig(i, "", rl)
+                       for i, rl in enumerate(read_lists)]
+    else:
+        with timers.phase("contract"):
+            # ref main.cpp:412-419: contract loop, then a final
+            # retainOnlySmallestOffset (:429) fixes walk-time adjacency order
+            cg = ContractedGraph(g)
+            for _ in range(2):
+                cg.retain_min_offset_inplace()
+                simplify_contract(cg, tcfg.max_offset_parallel_paths, log=_log)
             cg.retain_min_offset_inplace()
-            simplify_contract(cg, tcfg.max_offset_parallel_paths, log=_log)
-        cg.retain_min_offset_inplace()
 
-    # --- contigs ------------------------------------------------------------
-    with timers.phase("contig_creator"):
-        reliable = walk_mod.mark_reliable_predecessors(
-            cg, batch, paired=bool(file2_seqs),
-            avg_read_length=batch.avg_read_length(),
-            min_paired_connections=tcfg.min_paired_connections,
-            max_insert_size=tcfg.max_length_of_insert_size)
-        contigs = walk_mod.get_all_contigs(
-            cg, batch, tcfg.contig_min_output_length, reliable)
+        with timers.phase("contig_creator"):
+            reliable = walk_mod.mark_reliable_predecessors(
+                cg, batch, paired=bool(file2_seqs),
+                avg_read_length=batch.avg_read_length(),
+                min_paired_connections=tcfg.min_paired_connections,
+                max_insert_size=tcfg.max_length_of_insert_size)
+            contigs = walk_mod.get_all_contigs(
+                cg, batch, tcfg.contig_min_output_length, reliable)
     _log(f"{len(contigs)} contigs before filtering")
 
     with timers.phase("consensus"):

@@ -1,0 +1,549 @@
+// alga_host — native host-side graph engine for the alga_tpu assembler.
+//
+// The reference assembler's host runtime is C++ (graph surgery under striped
+// locks, pointer-chasing walks); this library is its native-performance
+// counterpart in the TPU framework: the device (JAX/XLA/Pallas) finds and
+// verifies overlap candidates, and this engine runs the sequential
+// graph-simplification / contraction / contig-walk passes whose semantics
+// were locked down (byte-identical output) against the reference via the
+// Python twin implementations in alga_tpu/graph/{simplify,contract}.py and
+// alga_tpu/contig/walk.py — which remain as differential-test oracles.
+//
+// Reference provenance for each pass is cited at the function level
+// (file:line refers to /root/reference).
+//
+// Build: make -C native   (g++ -O3 -shared -fPIC)
+// Binding: ctypes (alga_tpu/native.py).
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <unordered_map>
+#include <unordered_set>
+#include <vector>
+
+using std::pair;
+using std::vector;
+
+namespace {
+
+struct Adj {
+    // per-node adjacency (dst, offset); mutation semantics replicate
+    // reference Graph (src/DataStructures/Graph.cpp)
+    int n;
+    vector<vector<pair<int, int>>> out;
+
+    void init(int n_, int64_t ne, const int32_t* src, const int32_t* dst,
+              const int32_t* off) {
+        n = n_;
+        out.assign(n, {});
+        for (int64_t e = 0; e < ne; e++) out[src[e]].push_back({dst[e], off[e]});
+    }
+
+    // ref Graph::removeDirectedEdge (Graph.cpp:96-119): back-to-front swap-pop
+    bool remove_edge(int a, int b) {
+        auto& la = out[a];
+        bool removed = false;
+        int p = (int)la.size() - 1;
+        for (int i = (int)la.size() - 1; i >= 0; i--) {
+            if (la[i].first == b) {
+                std::swap(la[i], la[p]);
+                la.pop_back();
+                p--;
+                removed = true;
+            }
+        }
+        return removed;
+    }
+
+    // ref Graph::sortEdgesByIncreasingOffset (Graph.cpp:584-614)
+    void sort_by_offset() {
+        for (auto& la : out)
+            std::sort(la.begin(), la.end(), [](const pair<int,int>& p, const pair<int,int>& q) {
+                if (p.second != q.second) return p.second < q.second;
+                return p.first < q.first;
+            });
+    }
+
+    // ref Graph::retainOnlySmallestOffset (Graph.cpp:348-387)
+    void retain_min_offset() {
+        for (auto& la : out) {
+            std::sort(la.begin(), la.end());
+            vector<pair<int,int>> nn;
+            size_t p = 0;
+            while (p < la.size()) {
+                nn.push_back(la[p]);
+                p++;
+                while (p < la.size() && la[p-1].first == la[p].first) p++;
+            }
+            la.swap(nn);
+        }
+    }
+
+    int64_t num_edges() const {
+        int64_t t = 0;
+        for (auto& la : out) t += (int64_t)la.size();
+        return t;
+    }
+
+    int64_t dump(int32_t* src, int32_t* dst, int32_t* off) const {
+        int64_t e = 0;
+        for (int a = 0; a < n; a++)
+            for (auto& pr : out[a]) {
+                src[e] = a; dst[e] = pr.first; off[e] = pr.second; e++;
+            }
+        return e;
+    }
+
+    Adj reversed() const {
+        Adj r; r.n = n; r.out.assign(n, {});
+        for (int a = 0; a < n; a++)
+            for (auto& pr : out[a]) r.out[pr.first].push_back({a, pr.second});
+        return r;
+    }
+};
+
+// ---------------------------------------------------------------------------
+// cutNonAndWeaklyMetricTriangles (ref GraphSimplifier.cpp:228-348):
+// two-phase — collect (node id asc, slot asc) on the frozen graph, then
+// remove.  Removal per source in collection order (per-thread lists in the
+// reference touch disjoint sources, so this order is schedule-independent).
+int64_t cut_triangles(Adj& g, int max_offset) {
+    vector<pair<int,int>> to_remove;
+    std::unordered_map<int,int> dst;
+    for (int i = 0; i < g.n; i++) {
+        dst.clear();
+        for (auto& e1 : g.out[i]) {
+            for (auto& e2 : g.out[e1.first]) {
+                int b = e2.first, w = e1.second + e2.second;
+                auto it = dst.find(b);
+                if (it == dst.end() || w < it->second) dst[b] = w;
+            }
+        }
+        for (auto& e : g.out[i]) {
+            if (e.second > max_offset) continue;
+            auto it = dst.find(e.first);
+            if (it != dst.end() && it->second == e.second)
+                to_remove.push_back({i, e.first});
+        }
+    }
+    for (auto& pr : to_remove) g.remove_edge(pr.first, pr.second);
+    return (int64_t)to_remove.size();
+}
+
+// tryToRemoveShortPathsMST (ref GraphSimplifier.cpp:431-518), seeds id-asc
+void mst_pop(Adj& g, int beg, int max_offset, vector<char>& was_arr) {
+    vector<pair<pair<int,int>,int>> edges;
+    vector<int> neigh{beg};
+    std::unordered_map<int,int> dst;
+    dst[beg] = 0;
+    vector<int> was_touched;
+    for (size_t i = 0; i < neigh.size(); i++) {
+        int a = neigh[i];
+        if (was_arr[a] || dst[a] > max_offset) continue;
+        was_arr[a] = 1;
+        was_touched.push_back(a);
+        for (auto& pr : g.out[a]) {
+            int b = pr.first, offset = pr.second;
+            auto it = dst.find(b);
+            if (it != dst.end() && it->second < dst[a] + offset) continue;
+            dst[b] = dst[a] + offset;
+            edges.push_back({{a, b}, offset});
+            neigh.push_back(b);
+        }
+    }
+    for (auto& e : edges) g.remove_edge(e.first.first, e.first.second);
+    std::sort(edges.begin(), edges.end(), [](const auto& a, const auto& b) {
+        if (a.second != b.second) return a.second < b.second;
+        return a.first < b.first;
+    });
+    for (int a : was_touched) was_arr[a] = 0;
+    for (auto& e : edges) {
+        if (was_arr[e.first.second]) continue;
+        g.out[e.first.first].push_back({e.first.second, e.second});
+        was_arr[e.first.second] = 1;
+        was_touched.push_back(e.first.second);
+    }
+    for (int a : was_touched) was_arr[a] = 0;
+}
+
+// removeDanglingBranchesFromNode (ref GraphSimplifier.cpp:725-808)
+void dangling_from_seed(const Adj& g, int seed, int max_offset,
+                        vector<pair<int,int>>& edges_out) {
+    vector<pair<int,int>> branch_ends;
+    std::unordered_map<int,int> par;
+    std::unordered_set<int> was;
+    par[seed] = seed;
+    for (auto& pr : g.out[seed]) {
+        int v = pr.first;
+        par[v] = seed;               // unconditional overwrite (ref :739)
+        was.insert(v);
+        int offset = pr.second;
+        while (g.out[v].size() == 1) {
+            int son = g.out[v][0].first;
+            if (was.count(son)) break;
+            was.insert(son);
+            par[son] = v;
+            offset += g.out[v][0].second;
+            v = son;
+            if (offset > max_offset) break;
+        }
+        if (g.out[v].empty() && offset <= max_offset)
+            branch_ends.push_back({offset, v});
+    }
+    std::sort(branch_ends.begin(), branch_ends.end());
+    int div = (branch_ends.size() == g.out[seed].size()) ? 1 : 0;
+    for (int i = 0; i < (int)branch_ends.size() - div; i++) {
+        int v = branch_ends[i].second;
+        while (v != seed) {
+            edges_out.push_back({par[v], v});
+            v = par[v];
+        }
+    }
+}
+
+int64_t remove_dangling(Adj& g, int max_offset) {
+    vector<pair<int,int>> to_remove;
+    for (int seed = 0; seed < g.n; seed++)
+        if (g.out[seed].size() >= 2)
+            dangling_from_seed(g, seed, max_offset, to_remove);
+    std::sort(to_remove.begin(), to_remove.end());
+    to_remove.erase(std::unique(to_remove.begin(), to_remove.end()), to_remove.end());
+    int64_t removed = 0;
+    for (auto& e : to_remove)
+        if (g.remove_edge(e.first, e.second)) removed++;
+    return removed;
+}
+
+void mark_isolated(const Adj& g, uint8_t* valid) {
+    vector<char> has(g.n, 0);
+    for (int a = 0; a < g.n; a++) {
+        if (!g.out[a].empty()) has[a] = 1;
+        for (auto& pr : g.out[a]) has[pr.first] = 1;
+    }
+    for (int a = 0; a < g.n; a++)
+        if (!has[a]) valid[a] = 0;
+}
+
+double avg_read_length(int n, const int32_t* lengths, const uint8_t* valid) {
+    double s = 0; int64_t c = 0;
+    for (int i = 0; i < n; i++)
+        if (valid[i]) { s += lengths[i]; c++; }
+    return c ? s / c : 0.0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// simplifyGraphOld (ref GraphSimplifier.cpp:85-226, GCPS default path).
+// valid[] is updated in place at the reference's removeIsolatedReads points.
+// Returns number of surviving edges written to out_* (capacity = ne).
+int64_t alga_simplify_graph_old(
+    int32_t n, int64_t ne, const int32_t* src, const int32_t* dst,
+    const int32_t* off, uint8_t* valid, const int32_t* read_lengths,
+    int32_t mopp, int32_t modb,
+    int32_t* out_src, int32_t* out_dst, int32_t* out_off) {
+    Adj g;
+    g.init(n, ne, src, dst, off);
+    g.sort_by_offset();
+
+    cut_triangles(g, mopp);
+    mark_isolated(g, valid);
+    double avg = avg_read_length(n, read_lengths, valid);
+
+    // each sequential pass starts from freshly (offset, dst)-sorted
+    // adjacency — matching the Python twin's canonicalization (which is
+    // byte-parity-validated against the reference)
+    int mopp_scaled = (int)((double)(mopp * avg) / (float)100);
+    g.sort_by_offset();
+    {
+        vector<char> was(n, 0);
+        for (int beg = 0; beg < n; beg++)
+            if (g.out[beg].size() >= 2) mst_pop(g, beg, mopp_scaled, was);
+    }
+    mark_isolated(g, valid);
+    g.retain_min_offset();
+
+    int modb_scaled = (int)((double)(modb * avg) / (float)100);
+    int iterations = 0;
+    while (true) {
+        g.sort_by_offset();
+        int64_t removed = remove_dangling(g, modb_scaled);
+        {   // upper branches on the reversed graph (ref :811-820)
+            Adj r = g.reversed();
+            r.sort_by_offset();
+            removed += remove_dangling(r, modb_scaled);
+            g = r.reversed();
+        }
+        iterations++;
+        if (removed == 0) break;
+        if (iterations >= 16 && removed <= 30) break;  // ref :212-214
+    }
+    mark_isolated(g, valid);
+    return g.dump(out_src, out_dst, out_off);
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Contraction + contig walk (ref Graph::contractPath Graph.cpp:390-469,
+// GraphSimplifier::{simplifyGraph,contractPathNodes} GraphSimplifier.cpp:
+// 49-82,823-958, ContigCreatorSinglePath.cpp)
+
+namespace {
+
+struct CGraph {
+    Adj g;
+    // cedges[a][c] = interior hops [(n1,w1),...,(c,wk)]
+    vector<std::unordered_map<int, vector<pair<int,int>>>> ced;
+
+    void init_from(Adj&& a) {
+        g = std::move(a);
+        ced.assign(g.n, {});
+    }
+
+    int find_weight(int a, int b) const {
+        for (auto& pr : g.out[a]) if (pr.first == b) return pr.second;
+        return -1;
+    }
+    bool contains_edge(int a, int b) const { return find_weight(a, b) >= 0; }
+    bool contains_edge_ge(int a, int b, int t) const {
+        for (auto& pr : g.out[a]) if (pr.first == b && pr.second >= t) return true;
+        return false;
+    }
+    bool remove_edge(int a, int b) {
+        ced[a].erase(b);                    // ref Graph.cpp:98-102
+        return g.remove_edge(a, b);
+    }
+    void add_edge_min(int a, int b, int offset) {   // ref Graph.cpp:53-71
+        if (a == b) return;
+        for (auto& pr : g.out[a])
+            if (pr.first == b) { if (offset < pr.second) pr.second = offset; return; }
+        g.out[a].push_back({b, offset});
+    }
+    vector<pair<int,int>> path(int a, int b) const {  // ref Graph.cpp:486-497
+        auto it = ced[a].find(b);
+        if (it != ced[a].end() && !it->second.empty()) return it->second;
+        int w = find_weight(a, b);
+        if (w >= 0) return {{b, w}};
+        return {};
+    }
+
+    bool contract_path(int a, int b, int c, int threshold) {  // ref :390-469
+        if (a == c) return false;
+        if (g.out[b].size() != 1) return false;
+        int wab = find_weight(a, b);
+        if (wab < 0) return false;
+        int wbc = g.out[b][0].second;
+        int wabc = wab + wbc;
+        bool exists_ac = contains_edge(a, c);
+        if (exists_ac && wabc >= threshold) return false;
+        if (contains_edge_ge(a, c, threshold)) return false;
+
+        vector<pair<int,int>> path_ab, path_bc;
+        {
+            auto it = ced[a].find(b);
+            if (it != ced[a].end() && !it->second.empty()) { path_ab = std::move(it->second); ced[a].erase(it); }
+            else path_ab = {{b, wab}};
+        }
+        {
+            auto it = ced[b].find(c);
+            if (it != ced[b].end() && !it->second.empty()) { path_bc = std::move(it->second); ced[b].erase(it); }
+            else path_bc = {{c, wbc}};
+        }
+        remove_edge(a, c);
+        path_ab.insert(path_ab.end(), path_bc.begin(), path_bc.end());
+        ced[a][c] = std::move(path_ab);
+        remove_edge(a, b);
+        g.out[b].clear();                   // clearNode (ref Graph.cpp:197-207)
+        ced[b].clear();
+        add_edge_min(a, c, wabc);
+        return true;
+    }
+
+    int64_t contract_path_nodes(int threshold) {   // ref GS.cpp:910-958
+        vector<char> path_node(g.n, 0);
+        {
+            vector<int64_t> indeg(g.n, 0);
+            for (int a = 0; a < g.n; a++)
+                for (auto& pr : g.out[a]) indeg[pr.first]++;
+            for (int a = 0; a < g.n; a++)
+                path_node[a] = (indeg[a] == 1 && g.out[a].size() == 1);
+        }
+        int64_t done = 0;
+        for (int i = 0; i < g.n; i++) {
+            if (path_node[i]) continue;
+            size_t j = 0;
+            while (j < g.out[i].size()) {
+                int b = g.out[i][j].first;
+                if (!path_node[b] || g.out[b].size() != 1) { j++; continue; }
+                int c = g.out[b][0].first;
+                if (i == c) { j++; continue; }
+                if (contract_path(i, b, c, threshold)) done++;   // retry slot j
+                else j++;
+            }
+        }
+        return done;
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Contraction stage + contig walk.  Inputs: post-simplifier edges.
+// Outputs (preallocated by caller):
+//   ctg_indptr  int64[max_contigs+1]
+//   ctg_reads   int32[cap_reads]
+//   ctg_offs    int32[cap_reads]   (first entry of each contig = -1)
+// Returns number of contigs (or -1 if capacity exceeded).
+// Paired-end reliable predecessors: paired_offset int8[n] (0/1/2 as in
+// Global::pairedReadOffset); pass use_paired=0 for unpaired input.
+int64_t alga_contract_and_walk(
+    int32_t n, int64_t ne, const int32_t* src, const int32_t* dst,
+    const int32_t* off, const uint8_t* valid, const int32_t* read_lengths,
+    int32_t mopp, int32_t min_output_length,
+    int32_t use_paired, const int8_t* paired_offset, double avg_read_len,
+    int32_t min_paired_connections, int32_t max_insert_size,
+    int64_t max_contigs, int64_t cap_reads,
+    int64_t* ctg_indptr, int32_t* ctg_reads, int32_t* ctg_offs) {
+
+    CGraph cg;
+    {
+        Adj a;
+        a.init(n, ne, src, dst, off);
+        cg.init_from(std::move(a));
+    }
+
+    // ref main.cpp:412-419 + :429
+    for (int x = 0; x < 2; x++) {
+        cg.g.retain_min_offset();
+        while (true) {   // simplifyGraph (ref GS.cpp:49-82)
+            {   // triangles on the contracted graph (collect then remove)
+                vector<pair<int,int>> to_remove;
+                std::unordered_map<int,int> dmap;
+                for (int i = 0; i < n; i++) {
+                    dmap.clear();
+                    for (auto& e1 : cg.g.out[i])
+                        for (auto& e2 : cg.g.out[e1.first]) {
+                            int b = e2.first, w = e1.second + e2.second;
+                            auto it = dmap.find(b);
+                            if (it == dmap.end() || w < it->second) dmap[b] = w;
+                        }
+                    for (auto& e : cg.g.out[i]) {
+                        if (e.second > mopp) continue;
+                        auto it = dmap.find(e.first);
+                        if (it != dmap.end() && it->second == e.second)
+                            to_remove.push_back({i, e.first});
+                    }
+                }
+                for (auto& pr : to_remove) cg.remove_edge(pr.first, pr.second);
+            }
+            if (cg.contract_path_nodes(mopp) == 0) break;
+        }
+    }
+    cg.g.retain_min_offset();
+
+    // --- reliable predecessors (ref ContigCreatorSinglePath.cpp:268-415) ---
+    std::unordered_map<int, std::unordered_set<int>> reliable;
+    if (use_paired) {
+        int min_edge_len = (int)avg_read_len * 2;
+        Adj grev = cg.g.reversed();
+        for (int a = 0; a < n; a++) {
+            if (grev.out[a].empty()) continue;
+            if (!(cg.g.out[a].size() == 1 && cg.g.out[a][0].second >= min_edge_len
+                  && grev.out[a].size() >= 1)) continue;
+            int b = cg.g.out[a][0].first;
+            auto edge_ab = cg.path(a, b);
+            std::unordered_set<int> beg_of_ab;
+            {
+                int d = 0;
+                for (auto& pr : edge_ab) {
+                    if (d > max_insert_size) break;
+                    d += pr.second;
+                    beg_of_ab.insert(pr.first);
+                }
+            }
+            for (auto& pd : grev.out[a]) {
+                if (pd.second < min_edge_len) continue;
+                auto edge_da = cg.path(pd.first, a);
+                int d = 0, cnt = 0;
+                for (auto it = edge_da.rbegin(); it != edge_da.rend(); ++it) {
+                    if (d > max_insert_size) break;
+                    d += it->second;
+                    int x = it->first;
+                    int8_t po = paired_offset[x];
+                    int paired = x + (po == 1 ? 2 : po == 2 ? -2 : 0);
+                    int paired_rc = paired ^ 1;
+                    if (beg_of_ab.count(paired) || beg_of_ab.count(paired_rc)) cnt++;
+                }
+                if (cnt >= min_paired_connections) reliable[a].insert(pd.first);
+            }
+        }
+    }
+
+    // --- walk (ref ContigCreatorSinglePath.cpp:21-210) ---------------------
+    int64_t nc = 0;
+    int64_t rpos = 0;
+    ctg_indptr[0] = 0;
+    for (int beg = 0; beg < n; beg++) {
+        if (!valid[beg] || cg.g.out[beg].empty()) continue;
+        for (auto& e0 : cg.g.out[beg]) {
+            vector<pair<int,int>> reads_in;   // (read, offset)
+            reads_in.push_back({beg, -1});
+            std::unordered_set<int> was{beg};
+            int predecessor = beg;
+            int p = e0.first;
+            int64_t length_so_far = 0;
+            auto expand = [&](int a, int b) {
+                for (auto& hop : cg.path(a, b)) {
+                    reads_in.push_back(hop);
+                    length_so_far += hop.second;
+                }
+            };
+            expand(beg, p);
+            was.insert(p);
+
+            auto candidates = [&](int pred, int node) -> vector<pair<int,int>> {
+                auto it = reliable.find(node);
+                if (it != reliable.end() && it->second.count(pred))
+                    return cg.g.out[node];
+                return {};
+            };
+
+            auto cands = candidates(predecessor, p);
+            size_t can_be_next = cands.size();
+            if (can_be_next == 1) {
+                int nxt = cands[0].first;
+                expand(p, nxt);
+                predecessor = p; p = nxt;
+            }
+            while (can_be_next == 1) {
+                was.insert(p);
+                cands = candidates(predecessor, p);
+                can_be_next = cands.size();
+                if (can_be_next == 1) {
+                    int nxt = cands[0].first;
+                    expand(p, nxt);
+                    predecessor = p; p = nxt;
+                }
+                if (p == -1 || was.count(p)) break;
+            }
+            int64_t total_len = length_so_far + read_lengths[p];
+            if (total_len >= min_output_length) {
+                if (nc >= max_contigs || rpos + (int64_t)reads_in.size() > cap_reads)
+                    return -1;
+                for (auto& pr : reads_in) {
+                    ctg_reads[rpos] = pr.first;
+                    ctg_offs[rpos] = pr.second;
+                    rpos++;
+                }
+                ctg_indptr[++nc] = rpos;
+            }
+        }
+    }
+    return nc;
+}
+
+}  // extern "C"

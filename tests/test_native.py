@@ -1,0 +1,108 @@
+"""Differential tests: native C++ host engine vs the Python oracles."""
+
+import numpy as np
+import pytest
+
+from alga_tpu import native as native_mod
+from alga_tpu.contig import consensus as consensus_mod
+from alga_tpu.contig import walk as walk_mod
+from alga_tpu.core.seqbatch import SeqBatch
+from alga_tpu.graph import simplify
+from alga_tpu.graph.contract import ContractedGraph, simplify_contract
+from alga_tpu.graph.overlap_graph import OverlapGraph
+
+pytestmark = pytest.mark.skipif(not native_mod.available(),
+                                reason="native lib not built")
+
+
+class _Batch:
+    def __init__(self, n, lengths=None, avg=100.0):
+        self.valid = np.ones(n, dtype=bool)
+        self.lengths = np.full(n, 100, dtype=np.int32) if lengths is None else lengths
+        self.paired_offset = np.zeros(n, dtype=np.int8)
+
+    def avg_read_length(self):
+        v = self.valid
+        return float(self.lengths[v].mean()) if v.any() else 0.0
+
+
+def random_graph(rng, n, e, wmax=40):
+    seen = {}
+    while len(seen) < e:
+        a, b = rng.integers(0, n, 2)
+        if a == b:
+            continue
+        seen.setdefault((int(a), int(b)), int(rng.integers(1, wmax)))
+    return [(a, b, w) for (a, b), w in seen.items()]
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_native_simplify_matches_python(seed):
+    rng = np.random.default_rng(seed)
+    n = 80
+    edges = random_graph(rng, n, 200, wmax=25)
+    g = OverlapGraph.from_edges(n, edges)
+
+    bp = _Batch(n)
+    gp = simplify.simplify_graph_old(g.copy(), bp, 250, 250)
+
+    bn = _Batch(n)
+    gn = native_mod.simplify_graph_old(g.copy(), bn, 250, 250)
+
+    assert gn.edge_set() == gp.edge_set()
+    np.testing.assert_array_equal(bn.valid, bp.valid)
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_native_contract_walk_matches_python(seed):
+    rng = np.random.default_rng(100 + seed)
+    n = 60
+    # chain-heavy graph to exercise contraction
+    edges = []
+    chain = list(range(0, 40))
+    for a, b in zip(chain, chain[1:]):
+        edges.append((a, b, int(rng.integers(3, 12))))
+    edges += random_graph(rng, n, 30, wmax=15)
+    # dedup (keep first weight)
+    seen = {}
+    for a, b, w in edges:
+        if a != b:
+            seen.setdefault((a, b), w)
+    edges = [(a, b, w) for (a, b), w in seen.items()]
+    g = OverlapGraph.from_edges(n, edges)
+
+    seqs = ["".join("ACGT"[i] for i in rng.integers(0, 4, 100)) for _ in range(n)]
+    batch = SeqBatch.from_strings(seqs)
+
+    # python path
+    cg = ContractedGraph(g.copy())
+    for _ in range(2):
+        cg.retain_min_offset_inplace()
+        simplify_contract(cg, 250)
+    cg.retain_min_offset_inplace()
+    pc = walk_mod.get_all_contigs(cg, batch, min_output_length=50)
+    p_lists = [c.reads for c in pc]
+
+    # native path
+    n_lists = native_mod.contract_and_walk(
+        g.copy(), batch, mopp=250, min_output_length=50, paired=False,
+        min_paired_connections=5, max_insert_size=1000)
+
+    assert [[(int(r), int(o)) for r, o in lst] for lst in n_lists] == \
+           [[(int(r), int(o)) for r, o in lst] for lst in p_lists]
+
+
+def test_native_full_pipeline_equivalence():
+    """Assemble the same dataset with native on/off; outputs must be equal."""
+    import sys
+    sys.path.insert(0, "/root/repo/tests")
+    from simulate import random_genome, simulate_single
+    from alga_tpu.config import AssemblyConfig
+    from alga_tpu.pipeline import assemble
+
+    rng = np.random.default_rng(9)
+    genome = random_genome(rng, 20000)
+    reads = simulate_single(genome, rng, read_len=100, coverage=20)
+    r_native = assemble(AssemblyConfig(use_native=True), file1_seqs=reads)
+    r_python = assemble(AssemblyConfig(use_native=False), file1_seqs=reads)
+    assert [c.seq for c in r_native.contigs] == [c.seq for c in r_python.contigs]
