@@ -36,6 +36,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--retr", type=int, default=3, help="read end trim right")
     p.add_argument("--remove_reads_with_n", type=int, default=1)
     p.add_argument("--rna", action="store_true")
+    p.add_argument("--correct_reads", type=int, default=0, choices=[0, 1, 2],
+                   help="k-mer spectrum read correction (2 = correct only)")
+    p.add_argument("--no-native", action="store_true",
+                   help="disable the C++ host engine (use Python twin)")
     return p
 
 
@@ -53,6 +57,8 @@ def main(argv=None) -> int:
         read_end_trim_right=args.retr,
         remove_reads_with_n=bool(args.remove_reads_with_n),
         rna=args.rna,
+        correct_reads=args.correct_reads,
+        use_native=not args.no_native,
     )
     assemble_to_file(cfg)
     return 0

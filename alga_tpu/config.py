@@ -64,6 +64,10 @@ class AssemblyConfig:
     use_supplement: bool = False   # USE_GRAPH_CREATOR_SUPPLEMENT
                                    # (set when error_rate > 0.01)
 
+    # --- read correction (ref: src/Corrector/ReadCorrector.cpp; flag
+    #     CORRECT_READS, 0=off, 1=correct+assemble, 2=correct only) ---
+    correct_reads: int = 0
+
     # --- host engine ---
     use_native: bool = True    # use the C++ host graph engine when built
                                # (native/alga_host.cpp; Python twin otherwise)

@@ -1,0 +1,209 @@
+"""K-mer spectrum read correction (ref: src/Corrector/ReadCorrector.cpp).
+
+Musket-like: every position of every read contributes a (big-context,
+small-mer) observation — the 30-mer at [p, p+30) keys the 5-mer at [p-5, p)
+(ref addReadDataToMap:36-93).  Pairs seen < 2 times are pruned
+(createFrequenciesMap:96-157).  Correction: a 5-mer whose context exists
+but which itself is unsupported is replaced by the Hamming-closest
+supported candidate, <= 1 SNP, with interior mer-boundary positions
+immutable (applyCorrectionToRead:188-294).  The whole procedure runs
+forward then on index-reversed reads (correct:20-24).
+
+Vectorized spectrum building (numpy rolling hashes over all reads at once);
+the per-read sequential fix-up loop only runs for reads that have at least
+one unsupported window (vectorized pre-screen), matching the reference's
+sequential semantics exactly on those reads.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+SMALL = 5
+BIG = 30
+CANDIDATE_THRESHOLD = 2          # ref ReadCorrector.h:36
+MAX_SNPS_TO_CORRECT = 1          # ref ReadCorrector.cpp:258
+MAX_HASH = 10**18 + 3            # ref Params.cpp:721
+
+_BIG_POW = 4 ** (BIG - 1)
+_SMALL_POW = 4 ** (SMALL - 1)
+
+
+def _window_hashes(codes: np.ndarray, lengths: np.ndarray):
+    """For every read and start p (small window at [p-SMALL, p), big at
+    [p, p+BIG)), return (bH mod MAX_HASH, sH) arrays [N, P] + validity.
+
+    p ranges over [SMALL, len - BIG] (ref loop :58-91)."""
+    n, lpad = codes.shape
+    c = codes.astype(np.int64)
+    num_p = max(0, lpad - BIG - SMALL + 1)
+    if num_p == 0:
+        z = np.zeros((n, 0), dtype=np.int64)
+        return z, z.copy(), np.zeros((n, 0), dtype=bool)
+
+    bH = np.zeros((n, num_p), dtype=np.int64)
+    sH = np.zeros((n, num_p), dtype=np.int64)
+
+    # initial window at p = SMALL
+    s0 = np.zeros(n, dtype=np.int64)
+    for i in range(SMALL):
+        s0 = s0 * 4 + c[:, i]
+    b0 = np.zeros(n, dtype=np.int64)
+    for i in range(SMALL, SMALL + BIG):
+        b0 = b0 * 4 + c[:, i]
+        b0 = np.where(b0 >= MAX_HASH, b0 - MAX_HASH, b0)
+    sH[:, 0] = s0
+    bH[:, 0] = b0
+
+    for j in range(1, num_p):
+        p = SMALL + j          # small window now [p-SMALL, p)
+        q = SMALL + BIG + j - 1  # big window now [p, p+BIG), last base q
+        s0 = (s0 - _SMALL_POW * c[:, p - SMALL - 1]) * 4 + c[:, p - 1]
+        b0 = b0 - _BIG_POW * c[:, q - BIG]
+        b0 = np.where(b0 < 0, b0 % MAX_HASH, b0)
+        b0 = b0 * 4 + c[:, q]
+        b0 = np.where(b0 >= MAX_HASH, b0 - MAX_HASH, b0)
+        sH[:, j] = s0
+        bH[:, j] = b0
+
+    pos = np.arange(num_p)[None, :]
+    valid = (pos + SMALL + BIG) <= lengths[:, None]
+    return bH, sH, valid
+
+
+def build_spectrum(codes: np.ndarray, lengths: np.ndarray, valid_reads) -> dict:
+    """bH -> {sH} support map (only pairs with count >= threshold kept)."""
+    ok = np.asarray(valid_reads, dtype=bool) & (lengths >= SMALL + BIG)
+    bH, sH, wvalid = _window_hashes(codes, lengths)
+    wvalid = wvalid & ok[:, None]
+    b = bH[wvalid]
+    s = sH[wvalid]
+    if len(b) == 0:
+        return {}
+    order = np.lexsort((s, b))
+    b, s = b[order], s[order]
+    first = np.ones(len(b), dtype=bool)
+    first[1:] = (b[1:] != b[:-1]) | (s[1:] != s[:-1])
+    idx = np.flatnonzero(first)
+    counts = np.diff(np.append(idx, len(b)))
+    keep = counts >= CANDIDATE_THRESHOLD
+    bk, sk = b[idx[keep]], s[idx[keep]]
+    spectrum: dict[int, dict[int, int]] = {}
+    for bb, ss in zip(bk.tolist(), sk.tolist()):
+        spectrum.setdefault(bb, {})[ss] = 1
+    return spectrum
+
+
+def _correct_one(row: np.ndarray, length: int, spectrum: dict) -> bool:
+    """Sequential per-read correction (ref applyCorrectionToRead:188-294).
+    Mutates `row` in place; returns True if anything changed."""
+    if length < SMALL + BIG:
+        return False
+    changed = False
+    sH = 0
+    for i in range(SMALL):
+        sH = (sH << 2) + int(row[i])
+    bH = 0
+    for i in range(SMALL, SMALL + BIG):
+        bH = (bH << 2) + int(row[i])
+        while bH >= MAX_HASH:
+            bH -= MAX_HASH
+    p = SMALL
+    q = SMALL + BIG
+
+    def correct_local(p, sH):
+        nonlocal changed
+        cand = spectrum.get(bH)
+        if cand is None:
+            return sH
+        if sH in cand:
+            return sH
+        closest = None
+        min_dst = 10**9
+        for smer in cand:
+            dst = 0
+            same_boundaries = True
+            for i in range(SMALL):
+                smer_pos = (smer >> (2 * i)) & 3
+                # NB the reference compares bit-pair i (which holds mer base
+                # SMALL-1-i) against READ position p-SMALL+i — i.e. the mer
+                # is compared against the reversed window (ref :231-247) —
+                # while the write-back goes to p-1-i (ref :263).  Replicated
+                # verbatim for parity.
+                read_pos = int(row[p - SMALL + i])
+                if smer_pos != read_pos:
+                    dst += 1
+                    if (i == 0 or i == SMALL - 1) and p > SMALL:
+                        same_boundaries = False
+                        break
+            if same_boundaries and dst < min_dst:
+                min_dst = dst
+                closest = smer
+        if min_dst > MAX_SNPS_TO_CORRECT or closest is None:
+            return sH
+        for i in range(SMALL):
+            row[p - 1 - i] = (closest >> (2 * i)) & 3
+        changed = True
+        return closest
+
+    sH = correct_local(p, sH)
+    while q < length:
+        sH = ((sH - _SMALL_POW * int(row[p - SMALL])) << 2) + int(row[p])
+        bH = bH - _BIG_POW * int(row[q - BIG])
+        if bH < 0:
+            bH %= MAX_HASH
+            if bH < 0:
+                bH += MAX_HASH
+        bH = (bH << 2) + int(row[q])
+        while bH >= MAX_HASH:
+            bH -= MAX_HASH
+        p += 1
+        q += 1
+        sH = correct_local(p, sH)
+    return changed
+
+
+def correct_reads(codes: np.ndarray, lengths: np.ndarray, valid) -> int:
+    """Two-direction correction over the whole batch; mutates `codes`.
+    Returns number of reads changed."""
+    lengths = np.asarray(lengths, dtype=np.int64)
+    total_changed = 0
+    for reversed_dir in (False, True):
+        view = codes
+        if reversed_dir:
+            # index-reversed (NOT complemented) per-read view
+            # (ref accessReadPosition:315-321)
+            view = _reverse_rows(codes, lengths)
+        spectrum = build_spectrum(view, lengths, valid)
+
+        # pre-screen: reads with any unsupported (bH present, sH absent)
+        bH, sH, wvalid = _window_hashes(view, lengths)
+        wvalid &= np.asarray(valid, dtype=bool)[:, None]
+        needs = np.zeros(len(lengths), dtype=bool)
+        rows, cols = np.nonzero(wvalid)
+        for r, c in zip(rows.tolist(), cols.tolist()):
+            if needs[r]:
+                continue
+            cand = spectrum.get(int(bH[r, c]))
+            if cand is not None and int(sH[r, c]) not in cand:
+                needs[r] = True
+
+        for r in np.flatnonzero(needs):
+            row = view[r]
+            if _correct_one(row, int(lengths[r]), spectrum):
+                total_changed += 1
+        if reversed_dir:
+            codes[:] = _reverse_rows(view, lengths)
+        else:
+            codes[:] = view
+    return total_changed
+
+
+def _reverse_rows(codes: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    n, lpad = codes.shape
+    cols = np.arange(lpad, dtype=np.int64)[None, :]
+    src = lengths[:, None] - 1 - cols
+    ok = src >= 0
+    out = np.take_along_axis(codes, np.where(ok, src, 0), axis=1)
+    out[~ok] = 0
+    return out

@@ -167,6 +167,20 @@ def assemble(cfg: AssemblyConfig,
     _log(f"autotuned: LEN={tcfg.avg_read_length} "
          f"min_overlap={tcfg.min_overlap_pref_suf} rsoe={tcfg.rsoe_min_overlap}")
 
+    # --- optional read correction (ref main.cpp:122-127) --------------------
+    if tcfg.correct_reads:
+        from alga_tpu import corrector
+        from alga_tpu.core import packing as packing_mod
+        with timers.phase("read_corrector"):
+            codes = batch.codes()
+            nchanged = corrector.correct_reads(codes, batch.lengths, batch.valid)
+            batch.packed = packing_mod.codes_to_packed(
+                codes, batch.lengths, batch.width_words)
+        _log(f"read corrector changed {nchanged} reads")
+        if tcfg.correct_reads == 2:
+            timers.stop("total")
+            return AssemblyResult([], tcfg, timers, {"corrected": nchanged})
+
     # --- duplicate / prefix read removal -----------------------------------
     with timers.phase("read_preprocess"):
         marked = fastx.mark_prefix_reads(batch)
