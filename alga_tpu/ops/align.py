@@ -168,6 +168,17 @@ def banded_lcs_batch(codes, lengths, r1, r2, offsets, max_len: int, E: int = 2):
     return final[jnp.arange(M), e_star]
 
 
+def banded_lcs(codes, lengths, r1, r2, offsets, max_len: int, E: int = 2):
+    """Production entry: the Pallas kernel when ALGA_TPU_ENABLE_PALLAS=1
+    (real TPU runtimes; the axon tunnel cannot execute Mosaic custom-calls),
+    otherwise the XLA-compiled batch kernel."""
+    import os
+    if os.environ.get("ALGA_TPU_ENABLE_PALLAS") == "1":
+        from alga_tpu.ops.pallas.banded_dp import banded_lcs_pallas
+        return banded_lcs_pallas(codes, lengths, r1, r2, offsets, max_len, E)
+    return banded_lcs_batch(codes, lengths, r1, r2, offsets, max_len, E)
+
+
 # ---------------------------------------------------------------------------
 # host scalar oracles / sequential implementations (used by the PKB
 # supplement loop and tests)

@@ -1,0 +1,43 @@
+"""Pallas banded-DP kernel differential tests (interpreter mode on CPU).
+
+The compiled Mosaic path is validated on real TPU runtimes; the axon
+tunnel used in this environment cannot execute Mosaic custom-calls (any
+pallas_call hangs), so compiled-Pallas is opt-in via ALGA_TPU_ENABLE_PALLAS.
+"""
+
+import numpy as np
+import pytest
+
+from alga_tpu.ops import align
+from alga_tpu.ops.pallas.banded_dp import banded_lcs_pallas
+
+
+def _batch(rng, n, L):
+    codes = rng.integers(0, 4, size=(n, L)).astype(np.uint8)
+    lengths = np.full(n, L, dtype=np.int64)
+    return codes, lengths
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_pallas_matches_oracle(seed):
+    rng = np.random.default_rng(seed)
+    codes, lengths = _batch(rng, 25, 64)
+    M = 300
+    r1 = rng.integers(0, 25, M)
+    r2 = rng.integers(0, 25, M)
+    offs = rng.integers(0, 30, M)
+    got = np.asarray(banded_lcs_pallas(codes, lengths, r1, r2, offs, 64, 2))
+    want = np.array([align.np_banded_lcs(codes, lengths, a, b, int(o), 2)
+                     for a, b, o in zip(r1, r2, offs)])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_matches_xla_kernel(rng):
+    codes, lengths = _batch(rng, 20, 48)
+    M = 150
+    r1 = rng.integers(0, 20, M)
+    r2 = rng.integers(0, 20, M)
+    offs = rng.integers(0, 20, M)
+    a = np.asarray(banded_lcs_pallas(codes, lengths, r1, r2, offs, 48, 2))
+    b = np.asarray(align.banded_lcs_batch(codes, lengths, r1, r2, offs, 48, 2))
+    np.testing.assert_array_equal(a, b)
