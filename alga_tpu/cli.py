@@ -40,6 +40,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="k-mer spectrum read correction (2 = correct only)")
     p.add_argument("--no-native", action="store_true",
                    help="disable the C++ host engine (use Python twin)")
+    p.add_argument("--serialize", type=int, default=0,
+                   help="write graph checkpoints (reference-compatible binary)")
+    p.add_argument("--deserialize_graph", type=int, default=0,
+                   help="resume from graph checkpoints when present")
     return p
 
 
@@ -59,6 +63,8 @@ def main(argv=None) -> int:
         rna=args.rna,
         correct_reads=args.correct_reads,
         use_native=not args.no_native,
+        serialize_graph=bool(args.serialize),
+        deserialize_graph=bool(args.deserialize_graph),
     )
     assemble_to_file(cfg)
     return 0

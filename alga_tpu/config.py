@@ -68,6 +68,12 @@ class AssemblyConfig:
     #     CORRECT_READS, 0=off, 1=correct+assemble, 2=correct only) ---
     correct_reads: int = 0
 
+    # --- checkpoint / resume (ref --serialize/--deserialize_graph,
+    #     src/Params.cpp:392-395, main.cpp:242,293,385-403) ---
+    serialize_graph: bool = False
+    deserialize_graph: bool = False
+    checkpoint_prefix: str = ""     # defaults to <output> without extension
+
     # --- host engine ---
     use_native: bool = True    # use the C++ host graph engine when built
                                # (native/alga_host.cpp; Python twin otherwise)

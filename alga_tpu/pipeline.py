@@ -191,8 +191,19 @@ def assemble(cfg: AssemblyConfig,
     batch = remap_paired_offsets(batch, paired=bool(file2_seqs))
     _log(f"{len(batch)} reads after remap")
 
-    # --- overlap graph ------------------------------------------------------
-    g = build_graph_phase(batch, tcfg, timers)
+    # --- overlap graph (with optional checkpoint, ref main.cpp:242-296) -----
+    ck_prefix = tcfg.checkpoint_prefix or tcfg.output.rsplit(".", 1)[0]
+    ck_before = f"{ck_prefix}_beforeSimplifier.graph"
+    from alga_tpu.utils import serialize as ser
+    import os as _os
+    if tcfg.deserialize_graph and _os.path.exists(ck_before):
+        g = ser.read_reference_graph(ck_before)
+        _log(f"deserialized graph from {ck_before}: {g.num_edges} edges")
+    else:
+        g = build_graph_phase(batch, tcfg, timers)
+        if tcfg.serialize_graph:
+            ser.write_reference_graph(g, ck_before)
+            _log(f"serialized graph to {ck_before}")
 
     # --- error-tolerant LI/PKB supplement (ref main.cpp:300-355) ------------
     if tcfg.use_supplement:
@@ -207,16 +218,26 @@ def assemble(cfg: AssemblyConfig,
     from alga_tpu import native as native_mod
     use_native = cfg.use_native and native_mod.available()
 
-    with timers.phase("graph_simplifier"):
-        if use_native:
-            g = native_mod.simplify_graph_old(
-                g, batch, tcfg.max_offset_parallel_paths,
-                tcfg.max_offset_dangling_branches)
-        else:
-            g = simplify.simplify_graph_old(
-                g, batch, tcfg.max_offset_parallel_paths,
-                tcfg.max_offset_dangling_branches, log=_log)
-
+    ck_after = (f"{ck_prefix}_mopp{tcfg.max_offset_parallel_paths}"
+                f"_modb{tcfg.max_offset_dangling_branches}"
+                f"_rsoe{tcfg.rsoe_min_overlap}-{tcfg.rsoe_number_to_retain}"
+                f"_afterSimplifier.graph")
+    if tcfg.deserialize_graph and _os.path.exists(ck_after):
+        g = ser.read_reference_graph(ck_after)
+        batch.valid &= ~g.isolated_nodes()
+        _log(f"deserialized simplified graph from {ck_after}")
+    else:
+        with timers.phase("graph_simplifier"):
+            if use_native:
+                g = native_mod.simplify_graph_old(
+                    g, batch, tcfg.max_offset_parallel_paths,
+                    tcfg.max_offset_dangling_branches)
+            else:
+                g = simplify.simplify_graph_old(
+                    g, batch, tcfg.max_offset_parallel_paths,
+                    tcfg.max_offset_dangling_branches, log=_log)
+        if tcfg.serialize_graph:
+            ser.write_reference_graph(g, ck_after)
     if use_native:
         with timers.phase("contract_walk_native"):
             read_lists = native_mod.contract_and_walk(
