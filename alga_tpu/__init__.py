@@ -27,10 +27,24 @@ Layer map (mirrors reference SURVEY.md §1, re-architected TPU-first):
   pipeline.py       — end-to-end assembly orchestration (ref: src/main.cpp)
 """
 
+import os as _os
+
 import jax
 
 # Genomic hash arithmetic needs 64-bit integers (rolling polynomial hashes
 # modulo ~2^31 primes accumulate in int64).  Enable before first trace.
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: kernel executables are reused across
+# processes (first-compile of the overlap-sweep kernels is expensive on
+# remote TPU backends).
+_cache_dir = _os.environ.get(
+    "ALGA_TPU_CACHE", _os.path.expanduser("~/.cache/alga_tpu_jax"))
+try:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # pragma: no cover - cache is best-effort
+    pass
 
 __version__ = "0.1.0"

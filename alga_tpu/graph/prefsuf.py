@@ -177,8 +177,16 @@ def build_gcps_graph(packed, lengths, n: int, ell_min: int, cap: int,
     equals src's suffix, offset = len(src) - ell.  Deterministic."""
     lengths = np.asarray(lengths, dtype=np.int64)
     if matches is None:
-        matches = find_exact_overlaps(packed, lengths, ell_min, cap,
-                                      align_from, align_to, codes=codes)
+        import jax as _jax
+        n_windows = max(0, int(lengths.max(initial=0)) - int(ell_min) + 1)
+        if (_jax.default_backend() != "cpu"
+                and len(lengths) * n_windows >= 1 << 21):
+            from alga_tpu.graph.device_join import find_exact_overlaps_device
+            matches = find_exact_overlaps_device(
+                packed, lengths, ell_min, cap, align_from, align_to)
+        else:
+            matches = find_exact_overlaps(packed, lengths, ell_min, cap,
+                                          align_from, align_to, codes=codes)
     m = matches
 
     # regime split

@@ -130,3 +130,32 @@ def test_gcps_chain_gives_simple_path(rng):
     # successive reads overlap by 40 -> offset 10 edges must exist
     for i in range(len(seqs) - 1):
         assert (i, i + 1, 10) in og.edge_set()
+
+
+def test_device_join_matches_host(rng):
+    from alga_tpu.graph.device_join import find_exact_overlaps_device
+    core = random_genome(rng, 60)
+    g = (random_genome(rng, 150) + core + random_genome(rng, 100)
+         + core + random_genome(rng, 150))
+    seqs = reads_from_genome(g, 45, 4)
+    packed, lengths = packing.pack_strings(seqs)
+    m1 = prefsuf.find_exact_overlaps(packed, lengths, 15, 500)
+    m2 = find_exact_overlaps_device(packed, lengths, 15, 500)
+    s1 = set(zip(m1.src.tolist(), m1.dst.tolist(), m1.ell.tolist()))
+    s2 = set(zip(m2.src.tolist(), m2.dst.tolist(), m2.ell.tolist()))
+    assert s1 == s2
+
+
+def test_device_join_with_masks(rng):
+    from alga_tpu.graph.device_join import find_exact_overlaps_device
+    g = random_genome(rng, 300)
+    seqs = reads_from_genome(g, 40, 5)
+    packed, lengths = packing.pack_strings(seqs)
+    n = len(seqs)
+    af = rng.random(n) > 0.3
+    at = rng.random(n) > 0.3
+    m1 = prefsuf.find_exact_overlaps(packed, lengths, 12, 500, af, at)
+    m2 = find_exact_overlaps_device(packed, lengths, 12, 500, af, at)
+    s1 = set(zip(m1.src.tolist(), m1.dst.tolist(), m1.ell.tolist()))
+    s2 = set(zip(m2.src.tolist(), m2.dst.tolist(), m2.ell.tolist()))
+    assert s1 == s2
