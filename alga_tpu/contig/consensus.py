@@ -44,12 +44,17 @@ def correct_snips(contig: Contig, batch: SeqBatch, codes: np.ndarray | None = No
     counts = np.zeros((total, 4), dtype=np.int32)
     if codes is None:
         codes = batch.codes()
-    for rid, s, l in zip(ids, starts, lens):
-        l = int(min(l, total - s))
-        if l <= 0:
-            continue
-        seg = codes[rid, :l]
-        np.add.at(counts, (np.arange(s, s + l), seg.astype(np.int64)), 1)
+    # one flat scatter-add for all reads of the contig
+    lens_c = np.minimum(lens, total - starts)
+    lens_c = np.maximum(lens_c, 0)
+    tot_votes = int(lens_c.sum())
+    if tot_votes:
+        row_rep = np.repeat(np.arange(len(ids)), lens_c)
+        within = np.arange(tot_votes, dtype=np.int64) - np.repeat(
+            np.cumsum(lens_c) - lens_c, lens_c)
+        cols_pos = starts[row_rep] + within
+        bases = codes[ids[row_rep], within]
+        np.add.at(counts, (cols_pos, bases.astype(np.int64)), 1)
 
     best = counts.argmax(axis=1)           # ties -> lowest code (A first)
     freqs = counts.max(axis=1)

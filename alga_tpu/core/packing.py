@@ -67,15 +67,24 @@ def packed_to_codes(packed: np.ndarray, max_len: int | None = None) -> np.ndarra
     return codes
 
 
+def strings_to_byte_matrix(seqs: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Raw ASCII byte matrix uint8[N, Lpad] (0-padded) + lengths, built by
+    one concatenation + boolean scatter (no per-read Python loop)."""
+    n = len(seqs)
+    lengths = np.fromiter((len(s) for s in seqs), dtype=np.int64, count=n)
+    lpad = int(lengths.max()) if n else 0
+    mat = np.zeros((n, lpad), dtype=np.uint8)
+    if n and lpad:
+        flat = np.frombuffer("".join(seqs).encode("ascii"), dtype=np.uint8)
+        mask = np.arange(lpad, dtype=np.int64)[None, :] < lengths[:, None]
+        mat[mask] = flat          # row-major mask order == concatenation order
+    return mat, lengths
+
+
 def strings_to_codes(seqs: list[str]) -> tuple[np.ndarray, np.ndarray]:
     """Encode python strings into a padded uint8 code matrix + lengths."""
-    lengths = np.fromiter((len(s) for s in seqs), dtype=np.int32, count=len(seqs))
-    lpad = int(lengths.max()) if len(seqs) else 0
-    codes = np.zeros((len(seqs), lpad), dtype=np.uint8)
-    for i, s in enumerate(seqs):
-        b = np.frombuffer(s.encode("ascii"), dtype=np.uint8)
-        codes[i, : len(b)] = _CODE_LUT[b]
-    return codes, lengths
+    mat, lengths = strings_to_byte_matrix(seqs)
+    return _CODE_LUT[mat], lengths.astype(np.int32)
 
 
 def pack_strings(seqs: list[str], width_words: int | None = None) -> tuple[np.ndarray, np.ndarray]:

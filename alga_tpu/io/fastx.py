@@ -96,12 +96,8 @@ def preprocess_reads(seqs: list[str], *, trim_left: int = 3, trim_right: int = 3
     kept, like the reference's nullptr entries).
     """
     n = len(seqs)
-    lengths = np.fromiter((len(s) for s in seqs), dtype=np.int64, count=n)
-    lpad = int(lengths.max()) if n else 0
-    raw = np.zeros((n, lpad), dtype=np.uint8)
-    for i, s in enumerate(seqs):
-        b = np.frombuffer(s.encode("ascii"), dtype=np.uint8)
-        raw[i, : len(b)] = b
+    raw, lengths = packing.strings_to_byte_matrix(seqs)
+    lpad = raw.shape[1]
 
     if rna:
         raw[raw == ord("U")] = ord("T")
