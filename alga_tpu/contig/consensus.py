@@ -72,6 +72,56 @@ def correct_snips(contig: Contig, batch: SeqBatch, codes: np.ndarray | None = No
 
 
 def correct_all(contigs: list[Contig], batch: SeqBatch) -> None:
+    """Batched consensus: ONE scatter-add over the concatenated coordinate
+    space of every contig, then per-contig argmax + end trim."""
+    if not contigs:
+        return
     codes = batch.codes()
-    for c in contigs:
-        correct_snips(c, batch, codes)
+    lengths = batch.lengths.astype(np.int64)
+
+    # per-contig absolute starts/lengths
+    ctg_total = np.zeros(len(contigs), dtype=np.int64)
+    all_ids = []
+    all_starts = []       # within-contig start of each read
+    all_ctg = []          # contig index per read
+    for ci, c in enumerate(contigs):
+        offs = np.array([0] + [off for _, off in c.reads[1:]], dtype=np.int64)
+        starts = np.cumsum(offs)
+        ids = np.array([rid for rid, _ in c.reads], dtype=np.int64)
+        ctg_total[ci] = starts[-1] + lengths[ids[-1]]
+        all_ids.append(ids)
+        all_starts.append(starts)
+        all_ctg.append(np.full(len(ids), ci, dtype=np.int64))
+    ids = np.concatenate(all_ids)
+    starts = np.concatenate(all_starts)
+    ctg_of = np.concatenate(all_ctg)
+
+    ctg_base = np.zeros(len(contigs) + 1, dtype=np.int64)
+    np.cumsum(ctg_total, out=ctg_base[1:])
+    grand_total = int(ctg_base[-1])
+
+    lens_c = np.minimum(lengths[ids], ctg_total[ctg_of] - starts)
+    lens_c = np.maximum(lens_c, 0)
+    tot_votes = int(lens_c.sum())
+    counts = np.zeros((grand_total, 4), dtype=np.int32)
+    if tot_votes:
+        row_rep = np.repeat(np.arange(len(ids)), lens_c)
+        within = np.arange(tot_votes, dtype=np.int64) - np.repeat(
+            np.cumsum(lens_c) - lens_c, lens_c)
+        pos = ctg_base[ctg_of[row_rep]] + starts[row_rep] + within
+        bases = codes[ids[row_rep], within]
+        np.add.at(counts, (pos, bases.astype(np.int64)), 1)
+
+    best = counts.argmax(axis=1)
+    freqs = counts.max(axis=1)
+    thr = COVERAGE_TRIM_THRESHOLD
+    ok = freqs > thr
+    for ci, c in enumerate(contigs):
+        a, b = int(ctg_base[ci]), int(ctg_base[ci + 1])
+        seg_ok = ok[a:b]
+        nz = np.flatnonzero(seg_ok)
+        if len(nz) == 0:
+            c.seq = ""
+            continue
+        p, q = int(nz[0]), int(nz[-1])
+        c.seq = _BASES[best[a + p : a + q + 1]].tobytes().decode("ascii")

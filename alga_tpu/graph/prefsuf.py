@@ -179,8 +179,12 @@ def build_gcps_graph(packed, lengths, n: int, ell_min: int, cap: int,
     if matches is None:
         import jax as _jax
         n_windows = max(0, int(lengths.max(initial=0)) - int(ell_min) + 1)
+        # device join only for large batches of SHORT sequences — the scan
+        # length equals n_windows, so long sequences (contig-trim graphs)
+        # would dominate compile time (see hashes.window_keys heuristic)
         if (_jax.default_backend() != "cpu"
-                and len(lengths) * n_windows >= 1 << 21):
+                and len(lengths) * n_windows >= 1 << 21
+                and n_windows <= 4096):
             from alga_tpu.graph.device_join import find_exact_overlaps_device
             matches = find_exact_overlaps_device(
                 packed, lengths, ell_min, cap, align_from, align_to)
