@@ -12,7 +12,7 @@ arithmetic (revcomp/pair) stays intact.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, field
 
 import numpy as np
 

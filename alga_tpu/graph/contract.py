@@ -18,7 +18,6 @@ from __future__ import annotations
 import numpy as np
 
 from alga_tpu.graph.overlap_graph import OverlapGraph
-from alga_tpu.graph.simplify import cut_triangles
 
 
 class ContractedGraph:
