@@ -102,15 +102,30 @@ def correct_all(contigs: list[Contig], batch: SeqBatch) -> None:
 
     lens_c = np.minimum(lengths[ids], ctg_total[ctg_of] - starts)
     lens_c = np.maximum(lens_c, 0)
-    tot_votes = int(lens_c.sum())
-    counts = np.zeros((grand_total, 4), dtype=np.int32)
-    if tot_votes:
-        row_rep = np.repeat(np.arange(len(ids)), lens_c)
-        within = np.arange(tot_votes, dtype=np.int64) - np.repeat(
-            np.cumsum(lens_c) - lens_c, lens_c)
-        pos = ctg_base[ctg_of[row_rep]] + starts[row_rep] + within
-        bases = codes[ids[row_rep], within]
-        np.add.at(counts, (pos, bases.astype(np.int64)), 1)
+    abs_start = ctg_base[ctg_of] + starts
+
+    # chunked bincount voting: bounded temporaries, no ufunc.at
+    counts = np.zeros(grand_total * 4, dtype=np.int32)
+    CHUNK_VOTES = 16_000_000
+    csum = np.cumsum(lens_c)
+    i = 0
+    nreads = len(ids)
+    while i < nreads:
+        base_v = csum[i - 1] if i > 0 else 0
+        j = int(np.searchsorted(csum, base_v + CHUNK_VOTES)) + 1
+        j = min(max(j, i + 1), nreads)
+        lc = lens_c[i:j]
+        tot = int(lc.sum())
+        if tot:
+            row_rep = np.repeat(np.arange(i, j), lc)
+            within = np.arange(tot, dtype=np.int64) - np.repeat(
+                np.cumsum(lc) - lc, lc)
+            pos = abs_start[row_rep] + within
+            bases = codes[ids[row_rep], within].astype(np.int64)
+            counts += np.bincount(pos * 4 + bases, minlength=grand_total * 4
+                                  ).astype(np.int32)
+        i = j
+    counts = counts.reshape(grand_total, 4)
 
     best = counts.argmax(axis=1)
     freqs = counts.max(axis=1)
