@@ -73,10 +73,16 @@ def correct_snips(contig: Contig, batch: SeqBatch, codes: np.ndarray | None = No
 
 def correct_all(contigs: list[Contig], batch: SeqBatch) -> None:
     """Batched consensus: ONE scatter-add over the concatenated coordinate
-    space of every contig, then per-contig argmax + end trim."""
+    space of every contig, then per-contig argmax + end trim.  Uses the
+    native engine when available."""
     if not contigs:
         return
     codes = batch.codes()
+    from alga_tpu import native as native_mod
+    if native_mod.available():
+        native_mod.consensus_native(contigs, batch, codes,
+                                    COVERAGE_TRIM_THRESHOLD)
+        return
     lengths = batch.lengths.astype(np.int64)
 
     # per-contig absolute starts/lengths

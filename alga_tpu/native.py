@@ -47,6 +47,12 @@ def get_lib():
         ctypes.c_int32, ctypes.c_int64, i32p, i32p, i32p, u8p, i32p,
         ctypes.c_int32, ctypes.c_int32, i32p, i32p, i32p]
 
+    lib.alga_consensus.restype = None
+    lib.alga_consensus.argtypes = [
+        ctypes.c_int64, i64p, i32p, i32p,
+        u8p, ctypes.c_int64, i32p, i64p, ctypes.c_int32,
+        u8p, i64p, i64p]
+
     lib.alga_contract_and_walk.restype = ctypes.c_int64
     lib.alga_contract_and_walk.argtypes = [
         ctypes.c_int32, ctypes.c_int64, i32p, i32p, i32p, u8p, i32p,
@@ -121,3 +127,38 @@ def contract_and_walk(g, batch, mopp: int, min_output_length: int,
         a, b = indptr[c], indptr[c + 1]
         out.append(list(zip(creads[a:b].tolist(), coffs[a:b].tolist())))
     return out
+
+
+def consensus_native(contigs, batch, codes, coverage_thr: int):
+    """Native consensus voting; fills contig.seq.  contigs carry read lists."""
+    lib = get_lib()
+    nc = len(contigs)
+    indptr = np.zeros(nc + 1, dtype=np.int64)
+    reads_flat, offs_flat = [], []
+    lengths = batch.lengths.astype(np.int64)
+    col_base = np.zeros(nc + 1, dtype=np.int64)
+    for i, c in enumerate(contigs):
+        rids = np.fromiter((r for r, _ in c.reads), dtype=np.int32, count=len(c.reads))
+        offs = np.fromiter((o for _, o in c.reads), dtype=np.int32, count=len(c.reads))
+        reads_flat.append(rids)
+        offs_flat.append(offs)
+        indptr[i + 1] = indptr[i] + len(rids)
+        ncols = int(offs[1:].sum() + lengths[rids[-1]])
+        col_base[i + 1] = col_base[i] + ncols
+    creads = np.ascontiguousarray(np.concatenate(reads_flat), dtype=np.int32)
+    coffs = np.ascontiguousarray(np.concatenate(offs_flat), dtype=np.int32)
+    codes = np.ascontiguousarray(codes)
+    rl = np.ascontiguousarray(batch.lengths, dtype=np.int32)
+    out_bases = np.empty(int(col_base[-1]), dtype=np.uint8)
+    out_begin = np.empty(nc, dtype=np.int64)
+    out_end = np.empty(nc, dtype=np.int64)
+    lib.alga_consensus(nc, indptr, creads, coffs, codes, codes.shape[1], rl,
+                       col_base, coverage_thr, out_bases, out_begin, out_end)
+    basechars = np.frombuffer(b"ACGT", dtype=np.uint8)
+    for i, c in enumerate(contigs):
+        b, e = int(out_begin[i]), int(out_end[i])
+        if b >= e:
+            c.seq = ""
+        else:
+            a0 = int(col_base[i])
+            c.seq = basechars[out_bases[a0 + b : a0 + e]].tobytes().decode("ascii")

@@ -547,3 +547,64 @@ int64_t alga_contract_and_walk(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Per-column consensus voting (ref Contig::correctSnipsInContig,
+// src/DataStructures/Contig.cpp:33-92): majority per column (ties -> lowest
+// base code), then trim both ends while support <= 3.
+
+extern "C" {
+
+// contigs given as flattened read lists; codes is the unpacked base matrix.
+// Outputs, per contig: out_begin/out_end (kept column range, begin>end if
+// empty) and the winning base codes written into out_bases at the contig's
+// column base offsets (caller slices).
+void alga_consensus(
+    int64_t n_contigs, const int64_t* ctg_indptr,
+    const int32_t* ctg_reads, const int32_t* ctg_offs,
+    const uint8_t* codes, int64_t codes_stride, const int32_t* read_lengths,
+    const int64_t* ctg_col_base,       // [n_contigs+1] column offsets
+    int32_t coverage_thr,
+    uint8_t* out_bases,                // [total_columns]
+    int64_t* out_begin, int64_t* out_end) {
+
+    int64_t total_cols = ctg_col_base[n_contigs];
+    std::vector<int32_t> counts;       // per contig, reused
+    for (int64_t c = 0; c < n_contigs; c++) {
+        int64_t col0 = ctg_col_base[c];
+        int64_t ncols = ctg_col_base[c + 1] - col0;
+        counts.assign((size_t)ncols * 4, 0);
+        int64_t start = 0;
+        for (int64_t e = ctg_indptr[c]; e < ctg_indptr[c + 1]; e++) {
+            int32_t rid = ctg_reads[e];
+            int32_t off = ctg_offs[e];
+            if (e > ctg_indptr[c]) start += off;
+            const uint8_t* row = codes + (int64_t)rid * codes_stride;
+            int64_t l = read_lengths[rid];
+            if (start + l > ncols) l = ncols - start;
+            int32_t* cc = counts.data() + (size_t)start * 4;
+            for (int64_t j = 0; j < l; j++) cc[j * 4 + row[j]]++;
+        }
+        // majority + trim
+        int64_t p = 0, q = ncols - 1;
+        for (int64_t j = 0; j < ncols; j++) {
+            const int32_t* cj = counts.data() + (size_t)j * 4;
+            int best = 0;
+            for (int b = 1; b < 4; b++) if (cj[b] > cj[best]) best = b;
+            out_bases[col0 + j] = (uint8_t)best;
+        }
+        auto freq = [&](int64_t j) {
+            const int32_t* cj = counts.data() + (size_t)j * 4;
+            int32_t m = cj[0];
+            for (int b = 1; b < 4; b++) if (cj[b] > m) m = cj[b];
+            return m;
+        };
+        while (p <= q && freq(p) <= coverage_thr) p++;
+        while (p <= q && freq(q) <= coverage_thr) q--;
+        out_begin[c] = p;
+        out_end[c] = q + 1;
+    }
+    (void)total_cols;
+}
+
+}  // extern "C"
