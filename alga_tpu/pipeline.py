@@ -164,6 +164,9 @@ def assemble(cfg: AssemblyConfig,
     # --- autotune (ref main.cpp:93-115) ------------------------------------
     avg_post_trim = batch.avg_read_length()
     tcfg = autotune(cfg, avg_post_trim)
+    _log("config: " + " ".join(
+        f"{k}={v}" for k, v in sorted(vars(tcfg).items())
+        if not k.startswith("_") and k not in ("file1", "file2", "output")))
     _log(f"autotuned: LEN={tcfg.avg_read_length} "
          f"min_overlap={tcfg.min_overlap_pref_suf} rsoe={tcfg.rsoe_min_overlap}")
 

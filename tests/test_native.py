@@ -106,3 +106,26 @@ def test_native_full_pipeline_equivalence():
     r_native = assemble(AssemblyConfig(use_native=True), file1_seqs=reads)
     r_python = assemble(AssemblyConfig(use_native=False), file1_seqs=reads)
     assert [c.seq for c in r_native.contigs] == [c.seq for c in r_python.contigs]
+
+
+def test_native_consensus_matches_python(rng):
+    """Native consensus vs the pure-python per-contig oracle."""
+    from alga_tpu.contig.consensus import correct_snips
+    from alga_tpu.contig.walk import Contig
+
+    n = 40
+    seqs = ["".join("ACGT"[i] for i in rng.integers(0, 4, 60)) for _ in range(n)]
+    batch = SeqBatch.from_strings(seqs)
+    codes = batch.codes()
+    contigs = []
+    for ci in range(6):
+        k = int(rng.integers(3, 10))
+        rids = rng.integers(0, n, k)
+        offs = [-1] + [int(rng.integers(0, 20)) for _ in range(k - 1)]
+        contigs.append(Contig(ci, "", list(zip(rids.tolist(), offs))))
+    import copy
+    ref = [copy.deepcopy(c) for c in contigs]
+    for c in ref:
+        correct_snips(c, batch, codes)
+    native_mod.consensus_native(contigs, batch, codes, 3)
+    assert [c.seq for c in contigs] == [c.seq for c in ref]
