@@ -108,30 +108,34 @@ def window_kmer_keys_u32(packed, lengths, k: int, num_windows: int):
 def np_window_kmer_keys(codes: np.ndarray, lengths: np.ndarray, k: int,
                         num_windows: int):
     """Vectorized numpy twin of window_kmer_keys_u32 over a base-code
-    matrix uint8[N, L]."""
+    matrix uint8[N, L] — closed form, no per-position Python loop:
+
+        h(p) = sum_j c[p+j] * A^(k-1-j)          (mod 2^32)
+             = A^(k-1+p) * (T(p+k) - T(p)),  T(m) = sum_{i<m} c[i] * A^-i
+
+    (A odd => invertible mod 2^32; cumsum/cumprod wrap in uint32.)"""
     n, lpad = codes.shape
     lengths = np.asarray(lengths, dtype=np.int64)
+    L = max(lpad, k + num_windows)
     c = codes.astype(np.uint32)
-    if lpad < k + num_windows:
-        c = np.pad(c, ((0, 0), (0, k + num_windows - lpad)))
+    if lpad < L:
+        c = np.pad(c, ((0, 0), (0, L - lpad)))
 
-    a1k = _pows(A1, k + 1)[0]
-    a2k = _pows(A2, k + 1)[0]
+    def _keys(a: np.uint32) -> np.ndarray:
+        ainv = np.uint32(pow(int(a), -1, 1 << 32))
+        inv_pows = np.ones(L, dtype=np.uint32)
+        inv_pows[1:] = ainv
+        np.cumprod(inv_pows, out=inv_pows)          # A^-i
+        fwd_pows = np.ones(k + num_windows, dtype=np.uint32)
+        fwd_pows[1:] = a
+        np.cumprod(fwd_pows, out=fwd_pows)          # A^i
+        T = np.zeros((n, L + 1), dtype=np.uint32)
+        np.cumsum(c * inv_pows[None, :], axis=1, out=T[:, 1:])
+        p = np.arange(num_windows)
+        return fwd_pows[k - 1 + p][None, :] * (T[:, p + k] - T[:, p])
 
-    h1 = np.zeros(n, dtype=np.uint32)
-    h2 = np.zeros(n, dtype=np.uint32)
-    for j in range(k):
-        h1 = h1 * A1 + c[:, j]
-        h2 = h2 * A2 + c[:, j]
-
-    k1 = np.empty((n, num_windows), dtype=np.uint32)
-    k2 = np.empty((n, num_windows), dtype=np.uint32)
-    for p in range(num_windows):
-        k1[:, p] = h1
-        k2[:, p] = h2
-        h1 = h1 * A1 + c[:, p + k] - c[:, p] * a1k
-        h2 = h2 * A2 + c[:, p + k] - c[:, p] * a2k
-
+    k1 = _keys(A1)
+    k2 = _keys(A2)
     pos = np.arange(num_windows, dtype=np.int64)[None, :]
     valid = pos + k <= lengths[:, None]
     return k1, k2, valid
