@@ -191,6 +191,10 @@ def build_gcps_graph(packed, lengths, n: int, ell_min: int, cap: int,
         else:
             matches = find_exact_overlaps(packed, lengths, ell_min, cap,
                                           align_from, align_to, codes=codes)
+    from alga_tpu import native as _native
+    if _native.available():
+        return _native.gcps_from_matches(n, matches, packed, lengths,
+                                         rsoe, soes)
     m = matches
 
     # regime split

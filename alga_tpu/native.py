@@ -53,6 +53,14 @@ def get_lib():
         u8p, ctypes.c_int64, i32p, i64p, ctypes.c_int32,
         u8p, i64p, i64p]
 
+    u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    lib.alga_gcps_from_matches.restype = ctypes.c_int64
+    lib.alga_gcps_from_matches.argtypes = [
+        ctypes.c_int32, ctypes.c_int64, i32p, i32p, i32p,
+        u32p, ctypes.c_int64, i32p,
+        ctypes.c_int32, ctypes.c_int32,
+        i32p, i32p, i32p]
+
     lib.alga_contract_and_walk.restype = ctypes.c_int64
     lib.alga_contract_and_walk.argtypes = [
         ctypes.c_int32, ctypes.c_int64, i32p, i32p, i32p, u8p, i32p,
@@ -162,3 +170,23 @@ def consensus_native(contigs, batch, codes, coverage_thr: int):
         else:
             a0 = int(col_base[i])
             c.seq = basechars[out_bases[a0 + b : a0 + e]].tobytes().decode("ascii")
+
+
+def gcps_from_matches(n, matches, packed, lengths, rsoe: int, soes: int):
+    """Native twin of prefsuf.build_gcps_graph's post-match stages."""
+    from alga_tpu.graph.overlap_graph import OverlapGraph
+    lib = get_lib()
+    nm = len(matches.src)
+    msrc = np.ascontiguousarray(matches.src, dtype=np.int32)
+    mdst = np.ascontiguousarray(matches.dst, dtype=np.int32)
+    mell = np.ascontiguousarray(matches.ell, dtype=np.int32)
+    packed = np.ascontiguousarray(packed, dtype=np.uint32)
+    lens = np.ascontiguousarray(lengths, dtype=np.int32)
+    out_src = np.empty(max(nm, 1), dtype=np.int32)
+    out_dst = np.empty(max(nm, 1), dtype=np.int32)
+    out_off = np.empty(max(nm, 1), dtype=np.int32)
+    m = lib.alga_gcps_from_matches(n, nm, msrc, mdst, mell, packed,
+                                   packed.shape[1], lens, rsoe, soes,
+                                   out_src, out_dst, out_off)
+    return OverlapGraph(n, out_src[:m].copy(), out_dst[:m].copy(),
+                        out_off[:m].copy())

@@ -608,3 +608,146 @@ void alga_consensus(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// GCPS graph assembly from the device join's match list (the order-free
+// reformulation of ref GraphCreatorPrefSuf.cpp:73-488; semantics identical
+// to alga_tpu/graph/prefsuf.py::build_gcps_graph, which is the oracle):
+//   1. regime-1 ring survivors: per source, last `soes` matches with
+//      ell < rsoe in (ell, dst) arrival order;
+//   2. per (src, dst) pair the max-ell instance wins;
+//   3. an edge (A->C, offA) is removed iff some regime-2 match (B->C, offB)
+//      with a later (ell, src) stamp dominates it:
+//        offB > 0, offA >= offB, A != B, lenB + (offA-offB) - lenA >= 0,
+//        A[offA-offB : offA] == B[0 : offB]   (packed 2-bit compare).
+
+namespace {
+
+// A[a_start + t] == B[t] for t < len, on 2-bit packed rows (16 bases/word)
+inline bool packed_substr_eq(const uint32_t* pa, const uint32_t* pb,
+                             int64_t words, int a_start, int len) {
+    if (len <= 0) return true;
+    int sw = a_start >> 4;
+    int sb = (a_start & 15) * 2;
+    int w = 0;
+    int remaining = len;
+    while (remaining > 0) {
+        uint32_t lo = (sw + w < words) ? pa[sw + w] : 0u;
+        uint32_t hi = (sw + w + 1 < words) ? pa[sw + w + 1] : 0u;
+        uint32_t a_word = sb ? ((lo >> sb) | (hi << (32 - sb))) : lo;
+        uint32_t b_word = (w < words) ? pb[w] : 0u;
+        uint32_t diff = a_word ^ b_word;
+        int take = remaining >= 16 ? 16 : remaining;
+        uint32_t mask = take >= 16 ? 0xFFFFFFFFu : ((1u << (take * 2)) - 1u);
+        if (diff & mask) return false;
+        remaining -= take;
+        w++;
+    }
+    return true;
+}
+
+struct MatchRec { int32_t src, dst, ell; };
+
+}  // namespace
+
+extern "C" {
+
+int64_t alga_gcps_from_matches(
+    int32_t n, int64_t nm, const int32_t* msrc, const int32_t* mdst,
+    const int32_t* mell,
+    const uint32_t* packed, int64_t words, const int32_t* lengths,
+    int32_t rsoe, int32_t soes,
+    int32_t* out_src, int32_t* out_dst, int32_t* out_off) {
+
+    // --- regime split ------------------------------------------------------
+    std::vector<MatchRec> r1, r2;
+    r1.reserve(nm / 4);
+    r2.reserve(nm);
+    for (int64_t i = 0; i < nm; i++) {
+        if (mell[i] < rsoe) r1.push_back({msrc[i], mdst[i], mell[i]});
+        else r2.push_back({msrc[i], mdst[i], mell[i]});
+    }
+
+    // regime-1 ring: sort (src, ell, dst); keep last `soes` per src
+    std::sort(r1.begin(), r1.end(), [](const MatchRec& a, const MatchRec& b) {
+        if (a.src != b.src) return a.src < b.src;
+        if (a.ell != b.ell) return a.ell < b.ell;
+        return a.dst < b.dst;
+    });
+    std::vector<MatchRec> inst;
+    inst.reserve(r1.size() / 2 + r2.size());
+    {
+        size_t i = 0;
+        while (i < r1.size()) {
+            size_t j = i;
+            while (j < r1.size() && r1[j].src == r1[i].src) j++;
+            size_t from = (j - i > (size_t)soes) ? j - soes : i;
+            for (size_t t = from; t < j; t++) inst.push_back(r1[t]);
+            i = j;
+        }
+    }
+    for (auto& m : r2) inst.push_back(m);
+
+    // --- per-pair max-ell --------------------------------------------------
+    std::sort(inst.begin(), inst.end(), [](const MatchRec& a, const MatchRec& b) {
+        if (a.src != b.src) return a.src < b.src;
+        if (a.dst != b.dst) return a.dst < b.dst;
+        return a.ell < b.ell;
+    });
+    std::vector<MatchRec> pairs;
+    pairs.reserve(inst.size());
+    for (size_t i = 0; i < inst.size(); i++) {
+        if (i + 1 == inst.size() || inst[i].src != inst[i + 1].src
+            || inst[i].dst != inst[i + 1].dst)
+            pairs.push_back(inst[i]);
+    }
+
+    // --- domination pruning ------------------------------------------------
+    // removers = ALL regime-2 matches grouped by dst, sorted (dst, ell, src)
+    std::sort(r2.begin(), r2.end(), [](const MatchRec& a, const MatchRec& b) {
+        if (a.dst != b.dst) return a.dst < b.dst;
+        if (a.ell != b.ell) return a.ell < b.ell;
+        return a.src < b.src;
+    });
+    // pairs grouped by dst too
+    std::sort(pairs.begin(), pairs.end(), [](const MatchRec& a, const MatchRec& b) {
+        if (a.dst != b.dst) return a.dst < b.dst;
+        return a.src < b.src;
+    });
+
+    int64_t e = 0;
+    size_t rp = 0;
+    for (size_t i = 0; i < pairs.size(); i++) {
+        int32_t C = pairs[i].dst;
+        while (rp < r2.size() && r2[rp].dst < C) rp++;
+        size_t r_end = rp;
+        while (r_end < r2.size() && r2[r_end].dst == C) r_end++;
+
+        const MatchRec& a = pairs[i];
+        int32_t lenA = lengths[a.src];
+        int32_t offA = lenA - a.ell;
+        bool removed = false;
+        for (size_t r = rp; r < r_end && !removed; r++) {
+            const MatchRec& b = r2[r];
+            bool later = (b.ell > a.ell) || (b.ell == a.ell && b.src > a.src);
+            if (!later || b.src == a.src) continue;
+            int32_t lenB = lengths[b.src];
+            int32_t offB = lenB - b.ell;
+            if (offB <= 0 || offA < offB) continue;
+            if (lenB + (offA - offB) - lenA < 0) continue;
+            if (packed_substr_eq(packed + (int64_t)a.src * words,
+                                 packed + (int64_t)b.src * words,
+                                 words, offA - offB, offB))
+                removed = true;
+        }
+        if (!removed) {
+            out_src[e] = a.src;
+            out_dst[e] = a.dst;
+            out_off[e] = offA;
+            e++;
+        }
+    }
+    return e;
+}
+
+}  // extern "C"
