@@ -1,16 +1,22 @@
 """Device-side candidate join for the overlap sweep.
 
 Replaces the host sort-join in graph/prefsuf.py for large batches: window
-keys never leave the device — prefix keys are sorted on device, window
-keys binary-search into them, the ragged candidate expansion happens with
-a static capacity via searchsorted-over-cumsum, verification (secondary
-hash + exact packed compare) is fused, and only the compacted surviving
-matches (src, dst, ell) are transferred.  This reduces device→host traffic
-from O(N * windows) keys to O(matches) — the difference between ~3.5 GB
-and ~100 MB at E. coli scale (SURVEY.md §7.3-4).
+keys never leave the device, and only the compacted surviving matches
+(src, dst, ell) are transferred.  This reduces device→host traffic from
+O(N * windows) keys to O(matches) — the difference between ~3.5 GB and
+~100 MB at E. coli scale (SURVEY.md §7.3-4).
 
-Capacities are rounded to power-of-two buckets so executables are reused
-across chunks.
+Join direction is chosen for the TPU memory system: sorting 4M window keys
+costs ~30 ms while 4M binary-search probes (gather-heavy) cost ~1 s, so we
+SORT the big side (all windows of all reads) and binary-search the small
+side (one prefix key per read) into it — the reverse of the textbook
+build-on-small-side hash join, and of the reference's bucket design
+(ref GraphCreatorPrefSuf.cpp:41-48 buckets the prefixes and probes
+suffixes).  Candidate expansion is a scatter+cumsum segmented iota, not a
+searchsorted, for the same reason.
+
+Capacities are rounded to multiples of 64Ki so executables are reused
+across similarly-sized chunks without paying power-of-two padding waste.
 """
 
 from __future__ import annotations
@@ -29,58 +35,85 @@ from alga_tpu.ops.bitops import _pad_words, _shifted_words
 @partial(jax.jit, static_argnums=(4, 5, 6))
 def _keys_and_counts(packed, lengths, af, at, k: int, num_windows: int,
                      cap: int):
-    """Stage 1: hash windows, sort prefix keys, count candidates/window."""
-    k1, k2, valid = hashes.window_kmer_keys_u32(packed, lengths, k, num_windows)
-    n = packed.shape[0]
-    lengths = lengths.astype(jnp.int32)
+    """Stage 1: hash all windows, sort window keys, count candidates/read.
 
-    pvalid = (lengths >= k) & at
-    pk1 = jnp.where(pvalid, k1[:, 0], jnp.uint32(0xFFFFFFFF))
-    order = jnp.argsort(pk1)
-    pk1_sorted = pk1[order]
-    pk2_sorted = k2[:, 0][order]
-    pids_sorted = order.astype(jnp.int32)
-    pvalid_sorted = pvalid[order]
+    A window (B, p) is a live suffix-side candidate iff
+      p + k <= len_B           (window in range)
+      af[B]                    (read participates as source)
+      p >= len_B - cap         (overlap ell = len_B - p <= cap)
+    Invalid windows get sentinel key 0xFFFFFFFF; any spurious sentinel
+    matches are re-checked and dropped in stage 2.
+    """
+    k1, k2, valid = hashes.window_kmer_keys_u32(packed, lengths, k, num_windows)
+    lengths = lengths.astype(jnp.int32)
 
     pos = jnp.arange(num_windows, dtype=jnp.int32)[None, :]
     wvalid = valid & af[:, None] & (pos >= (lengths[:, None] - cap))
+    wkeys = jnp.where(wvalid, k1, jnp.uint32(0xFFFFFFFF)).ravel()
 
-    flat1 = k1.ravel()
-    lo = jnp.searchsorted(pk1_sorted, flat1, side="left").astype(jnp.int32)
-    hi = jnp.searchsorted(pk1_sorted, flat1, side="right").astype(jnp.int32)
-    counts = jnp.where(wvalid.ravel(), hi - lo, 0)
+    worder = jnp.argsort(wkeys).astype(jnp.int32)
+    wkeys_sorted = wkeys[worder]
+
+    # prefix side: one key per read (window 0), probed into the sorted
+    # window keys — n probes, not n*num_windows
+    pvalid = (lengths >= k) & at
+    pk1 = k1[:, 0]
+    lo = jnp.searchsorted(wkeys_sorted, pk1, side="left").astype(jnp.int32)
+    hi = jnp.searchsorted(wkeys_sorted, pk1, side="right").astype(jnp.int32)
+    counts = jnp.where(pvalid, hi - lo, 0)
     total = counts.sum()
-    return (k1, k2, lo, counts, total,
-            pk1_sorted, pk2_sorted, pids_sorted, pvalid_sorted)
+    # k2 is not needed: every candidate is verified by exact packed compare
+    # (the reference trusts its double hash instead, GCPS.cpp:385-387)
+    return worder, lo, counts, total, pvalid
 
 
-@partial(jax.jit, static_argnums=(10, 11))
-def _expand_verify(packed, lengths, k2, lo, counts,
-                   pk2_sorted, pids_sorted, pvalid_sorted,
-                   num_windows_arr, dummy, C: int, num_words: int):
-    """Stage 2: materialize up to C candidates, verify, compact."""
+@partial(jax.jit, static_argnums=(7, 8, 9, 10, 11))
+def _expand_verify(packed, lengths, worder, lo, counts,
+                   pvalid, af, num_windows: int, k: int, cap: int,
+                   C: int, num_words: int):
+    """Stage 2: materialize up to C candidates, verify, compact.
+
+    Candidate t belongs to prefix-read Cid = segment of t under counts;
+    its window is worder[lo[Cid] + rank(t)] = (B, p); the claimed overlap
+    is B[p : len_B] == Cid[0 : ell], ell = len_B - p.
+    """
     n = packed.shape[0]
-    num_windows = k2.shape[1]
     lengths = lengths.astype(jnp.int32)
 
     csum = jnp.cumsum(counts)
+    total = csum[-1]
+    csum_ex = csum - counts            # exclusive prefix sum, int32[n]
+
+    # segmented iota: j[t] = rank (among reads with counts>0) of the read
+    # whose candidate block holds t; nz_ids maps that rank back to the
+    # read id (reads with zero candidates occupy no block)
+    marks = jnp.zeros(C, dtype=jnp.int32)
+    marks = marks.at[jnp.where(counts > 0, csum_ex, C)].add(1, mode="drop")
+    j = jnp.cumsum(marks) - 1                       # int32[C], -1 before 1st
     t = jnp.arange(C, dtype=jnp.int32)
-    win_idx = jnp.searchsorted(csum, t, side="right").astype(jnp.int32)
-    win_idx_c = jnp.minimum(win_idx, counts.shape[0] - 1)
-    base = jnp.where(win_idx_c > 0, csum[jnp.maximum(win_idx_c - 1, 0)], 0)
-    rank = t - base
-    in_range = t < csum[-1]
+    in_range = (t < total) & (j >= 0)
+    nz_rank = jnp.cumsum((counts > 0).astype(jnp.int32)) - 1
+    nz_ids = jnp.zeros(n, dtype=jnp.int32).at[
+        jnp.where(counts > 0, nz_rank, n)].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
+    Cid = nz_ids[jnp.clip(j, 0, n - 1)]
 
-    B = (win_idx_c // num_windows).astype(jnp.int32)
-    p = (win_idx_c % num_windows).astype(jnp.int32)
-    pref_slot = lo[win_idx_c] + rank
-    pref_slot = jnp.clip(pref_slot, 0, n - 1)
-    Cid = pids_sorted[pref_slot]
+    rank = t - csum_ex[Cid]
+    widx = jnp.clip(lo[Cid] + rank, 0, worder.shape[0] - 1)
+    win = worder[widx]
+    B = (win // num_windows).astype(jnp.int32)
+    p = (win - B * num_windows).astype(jnp.int32)
 
-    ell = lengths[B] - p
-    ok = in_range & pvalid_sorted[pref_slot] & (B != Cid) & (lengths[Cid] >= ell)
-    # secondary hash agreement
-    ok &= k2[B, p] == pk2_sorted[pref_slot]
+    lenB = lengths[B]
+    ell = lenB - p
+    # window validity is re-checked here (not only via the sentinel key):
+    # a read whose prefix key happens to equal the sentinel would otherwise
+    # collect invalid windows — and an invalid window's ell <= 0 would make
+    # the masked compare below vacuously true.
+    ok = (in_range & pvalid[Cid] & (B != Cid) & (lengths[Cid] >= ell)
+          & af[B]
+          & (p + k <= lenB)              # window inside read B
+          & (p >= lenB - cap))           # overlap ell <= cap
 
     # exact packed verification: B[p : p+ell] == Cid[0 : ell]
     packed_u = packed.astype(jnp.uint32)
@@ -97,20 +130,22 @@ def _expand_verify(packed, lengths, k2, lo, counts,
         eq &= (diff & mask) == 0
     ok &= eq
 
-    # compact survivors to the front
-    key = jnp.where(ok, t, jnp.int32(C))
-    perm = jnp.argsort(key)
-    return B[perm], Cid[perm], ell[perm], ok.sum()
+    # compact survivors to the front with a stable scatter
+    nok = jnp.cumsum(ok.astype(jnp.int32))
+    out_pos = jnp.where(ok, nok - 1, C)
+    Bo = jnp.zeros(C, dtype=jnp.int32).at[out_pos].set(B, mode="drop")
+    Co = jnp.zeros(C, dtype=jnp.int32).at[out_pos].set(Cid, mode="drop")
+    Eo = jnp.zeros(C, dtype=jnp.int32).at[out_pos].set(ell, mode="drop")
+    return Bo, Co, Eo, nok[-1]
 
 
-def _pow2(x: int, lo: int = 1 << 14) -> int:
-    return max(lo, 1 << (max(int(x), 1) - 1).bit_length())
+def _round_cap(x: int, q: int = 1 << 16) -> int:
+    return max(q, ((int(x) + q - 1) // q) * q)
 
 
 def find_exact_overlaps_device(packed_np, lengths_np, ell_min: int, cap: int,
                                align_from=None, align_to=None):
-    """Device-join twin of prefsuf.find_exact_overlaps (full-mask only:
-    align masks are applied by zeroing lengths of excluded reads)."""
+    """Device-join twin of prefsuf.find_exact_overlaps."""
     from alga_tpu.graph.prefsuf import OverlapMatches
 
     lengths = np.asarray(lengths_np, dtype=np.int64)
@@ -127,20 +162,20 @@ def find_exact_overlaps_device(packed_np, lengths_np, ell_min: int, cap: int,
     num_windows = max_len - k + 1
     packed_d = jnp.asarray(packed_np)
     lengths_d = jnp.asarray(lengths.astype(np.int32))
+    af_d = jnp.asarray(af)
 
-    (k1, k2, lo, counts, total, pk1s, pk2s, pids, pvs) = _keys_and_counts(
-        packed_d, lengths_d, jnp.asarray(af), jnp.asarray(at), k,
-        num_windows, cap)
+    worder, lo, counts, total, pvalid = _keys_and_counts(
+        packed_d, lengths_d, af_d, jnp.asarray(at), k, num_windows, cap)
     total = int(total)
     if total == 0:
         z = np.zeros(0, dtype=np.int64)
         return OverlapMatches(z, z.copy(), z.copy())
 
-    C = _pow2(total)
+    C = _round_cap(total)
     W = packing.words_for(min(max_len, cap))
     Bv, Cv, Ev, nok = _expand_verify(
-        packed_d, lengths_d, k2, lo, counts, pk2s, pids, pvs,
-        jnp.int32(num_windows), jnp.int32(0), C, W)
+        packed_d, lengths_d, worder, lo, counts, pvalid, af_d,
+        num_windows, k, int(cap), C, W)
     m = int(nok)
     return OverlapMatches(
         np.asarray(Bv[:m]).astype(np.int64),
