@@ -134,12 +134,48 @@ def preprocess_reads(seqs: list[str], *, trim_left: int = 3, trim_right: int = 3
     return codes, lengths, dropped
 
 
+def _build_read_batch_native(file1_seqs, file2_seqs, *, trim_left=3,
+                             trim_right=3, rna=False, str_period=20) -> SeqBatch:
+    """Native fast path: one fused multithreaded C++ pass from raw bytes to
+    the interleaved [rc, fwd] packed rows (alga_preprocess_pack)."""
+    from alga_tpu import native
+
+    paired = file2_seqs is not None and len(file2_seqs) > 0
+    r1, rl1 = packing.strings_to_byte_matrix(file1_seqs)
+    m = len(file1_seqs)
+    if paired:
+        r2, rl2 = packing.strings_to_byte_matrix(file2_seqs)
+        lpad = max(r1.shape[1], r2.shape[1])
+        nrows, step = 4 * m, 4
+    else:
+        lpad = r1.shape[1]
+        nrows, step = 2 * m, 2
+    wpad = packing.words_for(lpad)
+    packed = np.zeros((nrows, wpad), dtype=np.uint32)
+    lengths = np.zeros(nrows, dtype=np.int32)
+    dropped = np.zeros(nrows, dtype=np.uint8)
+    kw = dict(trim_left=trim_left, trim_right=trim_right, rna=rna,
+              str_period=str_period, out_step=step, out_packed=packed,
+              out_lengths=lengths, out_dropped=dropped)
+    native.preprocess_pack(r1, rl1, out_base=1, **kw)
+    if paired:
+        native.preprocess_pack(r2, rl2, out_base=3, **kw)
+    batch = SeqBatch(packed, lengths, ~dropped.astype(bool))
+    return batch
+
+
 def build_read_batch(file1_seqs: list[str], file2_seqs: list[str] | None = None,
                      **pre_kwargs) -> SeqBatch:
     """Assemble the (rc, r) interleaved batch with paired-offset table."""
     paired = file2_seqs is not None and len(file2_seqs) > 0
     if paired:
         assert len(file1_seqs) == len(file2_seqs), "mate files must align"
+
+    from alga_tpu import native
+    if pre_kwargs.get("remove_reads_with_n", True) and native.available():
+        kw = {k: v for k, v in pre_kwargs.items()
+              if k in ("trim_left", "trim_right", "rna", "str_period")}
+        return _build_read_batch_native(file1_seqs, file2_seqs, **kw)
 
     c1, l1, d1 = preprocess_reads(file1_seqs, **pre_kwargs)
     if paired:

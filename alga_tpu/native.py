@@ -61,6 +61,13 @@ def get_lib():
         ctypes.c_int32, ctypes.c_int32,
         i32p, i32p, i32p]
 
+    lib.alga_preprocess_pack.restype = None
+    lib.alga_preprocess_pack.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int64, i64p,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        u32p, i32p, u8p, ctypes.c_int32]
+
     lib.alga_contract_and_walk.restype = ctypes.c_int64
     lib.alga_contract_and_walk.argtypes = [
         ctypes.c_int32, ctypes.c_int64, i32p, i32p, i32p, u8p, i32p,
@@ -75,6 +82,24 @@ def get_lib():
 
 def available() -> bool:
     return get_lib() is not None
+
+
+def preprocess_pack(raw, raw_lens, *, trim_left: int, trim_right: int,
+                    rna: bool, str_period: int,
+                    out_base: int, out_step: int,
+                    out_packed, out_lengths, out_dropped,
+                    nthreads: int = 0) -> None:
+    """Fused trim/N-drop/STR-filter/encode/revcomp/pack from the raw ASCII
+    byte matrix into pre-allocated interleaved SeqBatch rows.  Only valid
+    for the remove_reads_with_n path (N randomization stays in Python)."""
+    lib = get_lib()
+    raw = np.ascontiguousarray(raw, dtype=np.uint8)
+    raw_lens = np.ascontiguousarray(raw_lens, dtype=np.int64)
+    lib.alga_preprocess_pack(
+        raw, raw.shape[0], raw.shape[1], raw_lens,
+        trim_left, trim_right, 1 if rna else 0, str_period,
+        out_base, out_step, out_packed.shape[1],
+        out_packed, out_lengths, out_dropped, nthreads)
 
 
 def simplify_graph_old(g, batch, mopp: int, modb: int):

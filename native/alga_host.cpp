@@ -751,3 +751,110 @@ int64_t alga_gcps_from_matches(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Read preprocessing + 2-bit packing (ref src/IO/InputReader.cpp:272-391):
+// the reference preprocesses each read inline while T threads stride the
+// input file — trim (ref :298-303), N filter (ref :317-336), short-tandem-
+// repeat drop via KMP MinPeriod (ref :341-353, MyUtils.h:160-171) — then
+// packs into Bitset words (Read.cpp:40-68) and appends the reverse
+// complement (ref :363-377).  Here the whole per-read chain is fused into
+// one multithreaded pass from the raw ASCII byte matrix straight to the
+// interleaved [rc, fwd] packed-word rows of the SeqBatch; the Python twin
+// (alga_tpu/io/fastx.py::preprocess_reads + packing) remains the
+// differential-test oracle.
+
+#include <thread>
+
+extern "C" {
+
+// raw: uint8[m, lpad] ASCII; fwd output row of read i = out_base + out_step*i,
+// its reverse complement at that row - 1.  out_packed: uint32[nrows, wpad]
+// (zero-initialized by caller), out_lengths int32[nrows], out_dropped
+// uint8[nrows].  Only used when remove_n is true (the N-randomization path
+// stays in Python where the RNG lives).
+void alga_preprocess_pack(
+    const uint8_t* raw, int64_t m, int64_t lpad, const int64_t* raw_lens,
+    int32_t trim_left, int32_t trim_right, int32_t rna,
+    int32_t str_period,
+    int64_t out_base, int64_t out_step, int64_t wpad,
+    uint32_t* out_packed, int32_t* out_lengths, uint8_t* out_dropped,
+    int32_t nthreads) {
+
+    // byte -> 2-bit code (uppercase only, everything else 0 = 'A', matching
+    // fastx.preprocess_reads' LUT; ref Params::getNukl Params.cpp:110-167)
+    uint8_t lut[256];
+    memset(lut, 0, sizeof lut);
+    lut['C'] = 1; lut['G'] = 2; lut['T'] = 3;
+
+    auto job = [&](int64_t i0, int64_t i1) {
+        vector<uint8_t> codes((size_t)lpad);
+        for (int64_t i = i0; i < i1; i++) {
+            int64_t len = raw_lens[i];
+            bool do_trim = len >= (int64_t)trim_left + trim_right + 10;
+            const uint8_t* s = raw + i * lpad + (do_trim ? trim_left : 0);
+            int64_t L = do_trim ? len - trim_left - trim_right : len;
+
+            bool has_n = false;
+            for (int64_t j = 0; j < L; j++) {
+                uint8_t b = s[j];
+                if (rna && b == 'U') b = 'T';
+                if (b == 'N') has_n = true;
+                codes[j] = lut[b];
+            }
+
+            bool dropped = has_n;
+            if (!dropped) {
+                // min word period <= str_period (degenerate: len <= p)
+                for (int32_t p = 1; p <= str_period; p++) {
+                    if (p >= L) { dropped = true; break; }
+                    int64_t j = 0;
+                    while (j < L - p && codes[j] == codes[j + p]) j++;
+                    if (j == L - p) { dropped = true; break; }
+                }
+            }
+
+            int64_t r_fwd = out_base + out_step * i;
+            int64_t r_rc = r_fwd - 1;
+            out_lengths[r_fwd] = (int32_t)L;
+            out_lengths[r_rc] = (int32_t)L;
+            out_dropped[r_fwd] = dropped ? 1 : 0;
+            out_dropped[r_rc] = dropped ? 1 : 0;
+
+            uint32_t* pf = out_packed + r_fwd * wpad;
+            uint32_t* pr = out_packed + r_rc * wpad;
+            uint32_t wf = 0, wr = 0;
+            for (int64_t j = 0; j < L; j++) {
+                wf |= (uint32_t)codes[j] << (2 * (j & 15));
+                wr |= (uint32_t)(codes[L - 1 - j] ^ 3) << (2 * (j & 15));
+                if ((j & 15) == 15) {
+                    pf[j >> 4] = wf;
+                    pr[j >> 4] = wr;
+                    wf = wr = 0;
+                }
+            }
+            if (L & 15) {
+                pf[L >> 4] = wf;
+                pr[L >> 4] = wr;
+            }
+        }
+    };
+
+    int T = nthreads > 0 ? nthreads
+                         : (int)std::thread::hardware_concurrency();
+    if (T < 1) T = 1;
+    if (T == 1 || m < 4096) {
+        job(0, m);
+        return;
+    }
+    vector<std::thread> ths;
+    int64_t blk = (m + T - 1) / T;
+    for (int t = 1; t < T; t++) {
+        int64_t a = t * blk, b = std::min(m, (t + 1) * blk);
+        if (a < b) ths.emplace_back(job, a, b);
+    }
+    job(0, std::min(m, blk));
+    for (auto& th : ths) th.join();
+}
+
+}  // extern "C"

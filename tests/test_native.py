@@ -129,3 +129,85 @@ def test_native_consensus_matches_python(rng):
         correct_snips(c, batch, codes)
     native_mod.consensus_native(contigs, batch, codes, 3)
     assert [c.seq for c in contigs] == [c.seq for c in ref]
+
+
+def test_native_preprocess_pack_matches_python(rng):
+    """The fused C++ preprocess+pack must reproduce the Python twin exactly
+    (trim, N drop, STR filter, revcomp interleave, packed words) for both
+    unpaired and paired layouts, mixed lengths, RNA, and odd trims."""
+    from alga_tpu import native
+    from alga_tpu.core import packing
+    from alga_tpu.io.fastx import _build_read_batch_native, preprocess_reads
+    from alga_tpu.io import fastx
+    if not native.available():
+        import pytest
+        pytest.skip("native lib unavailable")
+
+    def python_batch(f1, f2=None, **kw):
+        # force the pure-Python path by going through the module internals
+        c1, l1, d1 = preprocess_reads(f1, **kw)
+        out = fastx.build_read_batch.__wrapped__ if hasattr(
+            fastx.build_read_batch, "__wrapped__") else None
+        # rebuild manually, mirroring build_read_batch's python tail
+        if f2:
+            c2, l2, d2 = preprocess_reads(f2, **kw)
+            lpad = max(c1.shape[1], c2.shape[1])
+            c1p = np.pad(c1, ((0, 0), (0, lpad - c1.shape[1])))
+            c2p = np.pad(c2, ((0, 0), (0, lpad - c2.shape[1])))
+            m = len(f1)
+            codes = np.zeros((4 * m, lpad), dtype=np.uint8)
+            lengths = np.zeros(4 * m, dtype=np.int64)
+            dropped = np.zeros(4 * m, dtype=bool)
+            codes[1::4], codes[3::4] = c1p, c2p
+            codes[0::4] = packing.revcomp_codes(c1p, l1)
+            codes[2::4] = packing.revcomp_codes(c2p, l2)
+            lengths[1::4] = l1; lengths[3::4] = l2
+            lengths[0::4] = l1; lengths[2::4] = l2
+            dropped[1::4] = d1; dropped[3::4] = d2
+            dropped[0::4] = d1; dropped[2::4] = d2
+        else:
+            m = len(f1)
+            lpad = c1.shape[1]
+            codes = np.zeros((2 * m, lpad), dtype=np.uint8)
+            lengths = np.zeros(2 * m, dtype=np.int64)
+            dropped = np.zeros(2 * m, dtype=bool)
+            codes[1::2] = c1
+            codes[0::2] = packing.revcomp_codes(c1, l1)
+            lengths[1::2] = l1; lengths[0::2] = l1
+            dropped[1::2] = d1; dropped[0::2] = d1
+        from alga_tpu.core.seqbatch import SeqBatch
+        b = SeqBatch.from_codes(codes, lengths)
+        b.valid = ~dropped
+        return b
+
+    def mk(n, lo, hi, with_n=0.0, periodic=0.0):
+        out = []
+        for _ in range(n):
+            L = int(rng.integers(lo, hi + 1))
+            s = "".join("ACGT"[c] for c in rng.integers(0, 4, L))
+            u = rng.random()
+            if u < with_n:
+                i = int(rng.integers(0, L))
+                s = s[:i] + "N" + s[i + 1:]
+            elif u < with_n + periodic:
+                s = ("ACG" * (L // 3 + 1))[:L]
+            out.append(s)
+        return out
+
+    cases = [
+        dict(f1=mk(200, 30, 120, 0.1, 0.1), f2=None,
+             kw=dict(trim_left=3, trim_right=3)),
+        dict(f1=mk(100, 15, 60, 0.2, 0.05), f2=mk(100, 15, 60, 0.2, 0.05),
+             kw=dict(trim_left=2, trim_right=5)),
+        dict(f1=mk(50, 21, 40), f2=None, kw=dict(trim_left=0, trim_right=0)),
+    ]
+    for case in cases:
+        kw = dict(case["kw"], str_period=20)
+        got = _build_read_batch_native(case["f1"], case["f2"], **kw)
+        want = python_batch(case["f1"], case["f2"], **kw)
+        assert np.array_equal(got.lengths, want.lengths)
+        assert np.array_equal(got.valid, want.valid)
+        # packed widths may differ; compare the common prefix + zero tails
+        w = min(got.packed.shape[1], want.packed.shape[1])
+        assert np.array_equal(got.packed[:, :w], want.packed[:, :w])
+        assert not got.packed[:, w:].any() and not want.packed[:, w:].any()
