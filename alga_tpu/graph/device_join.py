@@ -143,6 +143,231 @@ def _round_cap(x: int, q: int = 1 << 16) -> int:
     return max(q, ((int(x) + q - 1) // q) * q)
 
 
+# ---------------------------------------------------------------------------
+# Device-side GCPS post-join: regime split, ring-buffer survivors, pair
+# dedup, and domination pruning (the order-free reformulation documented in
+# graph/prefsuf.py, ref GraphCreatorPrefSuf.cpp:397-483) — so only the final
+# edge list leaves the device.  The C++ engine (native.gcps_from_matches)
+# and the Python fallback remain the differential oracles.
+
+_I32MAX = np.int32(0x7FFFFFFF)
+
+
+@partial(jax.jit, static_argnums=(4, 5))
+def _post_join_stage(B, Cd, E, lengths, rsoe: int, soes: int):
+    """From padded match arrays (invalid entries have B == I32MAX) produce:
+      pair arrays (psrc, pdst, pell, pair_valid) sorted by (src, dst),
+      regime-2 removers sorted by dst (rs, rd, re) + per-dst starts,
+      per-pair domination-expansion counts and their total.
+    """
+    Cap = B.shape[0]
+    n = lengths.shape[0]
+    lengths = lengths.astype(jnp.int32)
+    valid = B != _I32MAX
+
+    # --- regime-1 ring survivors: per src, last `soes` matches with
+    # ell < rsoe in canonical arrival order (ell asc, dst asc) -------------
+    r1 = valid & (E < rsoe)
+    key_src = jnp.where(r1, B, _I32MAX)
+    s_src, s_ell, s_dst = jax.lax.sort(
+        (key_src, jnp.where(r1, E, _I32MAX), jnp.where(r1, Cd, _I32MAX)),
+        num_keys=3)
+    t = jnp.arange(Cap, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones(1, bool), s_src[1:] != s_src[:-1]])
+    gid = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    glast = jnp.zeros(Cap, dtype=jnp.int32).at[gid].max(t)
+    ring_keep = (s_src != _I32MAX) & (glast[gid] - t < soes)
+
+    # --- pair instances = ring survivors + all regime-2 matches;
+    # dedup by (src, dst) keeping max ell ----------------------------------
+    r2 = valid & (E >= rsoe)
+    inst_src = jnp.concatenate([jnp.where(ring_keep, s_src, _I32MAX),
+                                jnp.where(r2, B, _I32MAX)])
+    inst_dst = jnp.concatenate([jnp.where(ring_keep, s_dst, _I32MAX),
+                                jnp.where(r2, Cd, _I32MAX)])
+    inst_ell = jnp.concatenate([jnp.where(ring_keep, s_ell, _I32MAX),
+                                jnp.where(r2, E, _I32MAX)])
+    psrc, pdst, pell = jax.lax.sort((inst_src, inst_dst, inst_ell),
+                                    num_keys=3)
+    is_last = jnp.concatenate(
+        [(psrc[:-1] != psrc[1:]) | (pdst[:-1] != pdst[1:]),
+         jnp.ones(1, bool)])
+    pair_valid = is_last & (psrc != _I32MAX)
+
+    # --- removers: regime-2 matches grouped by dst, offset ascending ------
+    # (off = len_src - ell); only removers with offB <= offA can dominate a
+    # pair (offA >= offB is part of the predicate, ref GCPS.cpp:414), so
+    # with removers sorted by (dst, off) each pair's eligible removers are
+    # a PREFIX of its dst run — counted below by a merged-rank sort instead
+    # of per-pair binary searches.
+    r_off = jnp.where(r2, lengths[jnp.clip(B, 0, n - 1)] - E, _I32MAX)
+    rd, ro_s, rs, re_ = jax.lax.sort(
+        (jnp.where(r2, Cd, _I32MAX), r_off,
+         jnp.where(r2, B, _I32MAX), jnp.where(r2, E, _I32MAX)), num_keys=3)
+    r_counts = jnp.zeros(n, dtype=jnp.int32).at[rd].add(1, mode="drop")
+    r_start = jnp.cumsum(r_counts) - r_counts
+
+    # merged rank: union of removers (tag 0) and pairs (tag 1) sorted by
+    # (dst, off, tag) — a pair's count of preceding removers in its dst
+    # group = number of eligible removers (off <= offA, remover-first ties)
+    p_off = jnp.where(pair_valid,
+                      lengths[jnp.clip(psrc, 0, n - 1)] - pell, _I32MAX)
+    u_dst = jnp.concatenate([rd, jnp.where(pair_valid, pdst, _I32MAX)])
+    u_off = jnp.concatenate([ro_s, p_off])
+    u_tag = jnp.concatenate([jnp.zeros_like(rd),
+                             jnp.ones(pdst.shape[0], dtype=jnp.int32)])
+    u_idx = jnp.concatenate([jnp.zeros_like(rd),
+                             jnp.arange(pdst.shape[0], dtype=jnp.int32)])
+    s_dst, s_off, s_tag, s_idx = jax.lax.sort(
+        (u_dst, u_off, u_tag, u_idx), num_keys=3)
+    rem_before = jnp.cumsum((s_tag == 0).astype(jnp.int32))  # inclusive
+    # eligible removers for the pair at sorted slot = removers before it in
+    # the SAME dst group = rem_before - removers before the group start
+    grp_start = jnp.concatenate(
+        [jnp.ones(1, bool), s_dst[1:] != s_dst[:-1]])
+    ggid = jnp.cumsum(grp_start.astype(jnp.int32)) - 1
+    grp_base = jnp.full(s_dst.shape[0], _I32MAX, dtype=jnp.int32).at[
+        ggid].min(rem_before - (s_tag == 0).astype(jnp.int32), mode="drop")
+    elig = rem_before - grp_base[ggid]
+    is_pair = (s_tag == 1) & (s_dst != _I32MAX)
+    cnt = jnp.zeros(pdst.shape[0], dtype=jnp.int32).at[
+        jnp.where(is_pair, s_idx, pdst.shape[0])].set(
+        jnp.where(is_pair, elig, 0), mode="drop")
+    cnt = jnp.where(pair_valid, cnt, 0)
+    exp_total = cnt.sum()
+    return (psrc, pdst, pell, pair_valid, rs, re_, r_start, cnt,
+            exp_total)
+
+
+@partial(jax.jit, static_argnums=(10, 11))
+def _dominate_and_compact(packed, lengths, psrc, pdst, pell, pair_valid,
+                          rs, re_, r_start, cnt,
+                          C3: int, num_words: int):
+    """Expand (pair x same-dst regime-2 remover), apply the reference's
+    domination predicate (ref GCPS.cpp:403-483 reformulated), compact the
+    surviving edges (src, dst, offset) to the front."""
+    n = packed.shape[0]
+    Cap = psrc.shape[0]
+    lengths = lengths.astype(jnp.int32)
+
+    csum = jnp.cumsum(cnt)
+    total = csum[-1]
+    csum_ex = csum - cnt
+
+    marks = jnp.zeros(C3, dtype=jnp.int32)
+    marks = marks.at[jnp.where(cnt > 0, csum_ex, C3)].add(1, mode="drop")
+    j = jnp.cumsum(marks) - 1
+    t = jnp.arange(C3, dtype=jnp.int32)
+    in_range = (t < total) & (j >= 0)
+    nz_rank = jnp.cumsum((cnt > 0).astype(jnp.int32)) - 1
+    nz_ids = jnp.zeros(Cap, dtype=jnp.int32).at[
+        jnp.where(cnt > 0, nz_rank, Cap)].set(
+        jnp.arange(Cap, dtype=jnp.int32), mode="drop")
+    pj = nz_ids[jnp.clip(j, 0, Cap - 1)]
+
+    rank = t - csum_ex[pj]
+    A = psrc[pj]
+    ellA = pell[pj]
+    dstA = pdst[pj]
+    A_c = jnp.clip(A, 0, n - 1)
+    lenA = lengths[A_c]
+    offA = lenA - ellA
+
+    ridx = jnp.clip(r_start[jnp.clip(dstA, 0, n - 1)] + rank, 0,
+                    rs.shape[0] - 1)
+    Br = rs[ridx]
+    ellB = re_[ridx]
+    Br_c = jnp.clip(Br, 0, n - 1)
+    lenB = lengths[Br_c]
+    offB = lenB - ellB
+
+    later = (ellB > ellA) | ((ellB == ellA) & (Br > A))
+    cond = (in_range & later & (Br != A) & (offB > 0) & (offA >= offB)
+            & (lenB + (offA - offB) - lenA >= 0))
+
+    # A[offA-offB : offA] == B[0 : offB]  (packed compare)
+    packed_pad = _pad_words(packed.astype(jnp.uint32))
+    eq = jnp.ones(C3, dtype=bool)
+    start = jnp.maximum(offA - offB, 0)
+    ml = jnp.where(cond, offB, 0).astype(jnp.int32)
+    for w in range(num_words):
+        a_word = _shifted_words(packed_pad, A_c, start, w)
+        b_word = packed_pad[Br_c, jnp.minimum(w, packed.shape[1] - 1)]
+        diff = a_word ^ b_word
+        rem = jnp.clip(ml - 16 * w, 0, 16)
+        mask = jnp.where(rem >= 16, jnp.uint32(0xFFFFFFFF),
+                         (jnp.uint32(1) << (rem.astype(jnp.uint32) * 2)) - 1)
+        eq &= (diff & mask) == 0
+    dominated = cond & eq
+
+    removed = jnp.zeros(Cap, dtype=bool).at[
+        jnp.where(dominated, pj, Cap)].set(True, mode="drop")
+
+    keep = pair_valid & ~removed
+    nkeep = jnp.cumsum(keep.astype(jnp.int32))
+    out_pos = jnp.where(keep, nkeep - 1, Cap)
+    p_off = jnp.where(pair_valid,
+                      lengths[jnp.clip(psrc, 0, n - 1)] - pell, 0)
+    # single interleaved output array -> ONE device->host transfer
+    out = jnp.zeros(3 * Cap, dtype=jnp.int32)
+    out = out.at[3 * out_pos].set(psrc, mode="drop")
+    out = out.at[3 * out_pos + 1].set(pdst, mode="drop")
+    out = out.at[3 * out_pos + 2].set(p_off, mode="drop")
+    return out, nkeep[-1]
+
+
+def gcps_graph_device(packed_np, lengths_np, n: int, ell_min: int, cap: int,
+                      rsoe: int, soes: int, align_from=None, align_to=None):
+    """Full GCPS graph on device: join + regime/ring/dedup/domination.
+    Only the final edge arrays cross device->host."""
+    from alga_tpu.graph.overlap_graph import OverlapGraph
+
+    lengths = np.asarray(lengths_np, dtype=np.int64)
+    max_len = int(lengths.max()) if n else 0
+    k = int(ell_min)
+    if n == 0 or max_len < k:
+        return OverlapGraph.empty(n)
+
+    af = np.ones(n, dtype=bool) if align_from is None else np.asarray(align_from, bool)
+    at = np.ones(n, dtype=bool) if align_to is None else np.asarray(align_to, bool)
+
+    num_windows = max_len - k + 1
+    packed_d = jnp.asarray(packed_np)
+    lengths_d = jnp.asarray(lengths.astype(np.int32))
+    af_d = jnp.asarray(af)
+
+    worder, lo, counts, total, pvalid = _keys_and_counts(
+        packed_d, lengths_d, af_d, jnp.asarray(at), k, num_windows, cap)
+    total = int(total)
+    if total == 0:
+        return OverlapGraph.empty(n)
+
+    C = _round_cap(total)
+    W = packing.words_for(min(max_len, cap))
+    Bv, Cv, Ev, nok = _expand_verify(
+        packed_d, lengths_d, worder, lo, counts, pvalid, af_d,
+        num_windows, k, int(cap), C, W)
+
+    # mark the padding tail invalid for the post-join stages
+    t = jnp.arange(C, dtype=jnp.int32)
+    Bm = jnp.where(t < nok, Bv, _I32MAX)
+
+    (psrc, pdst, pell, pair_valid, rs, re_, r_start, cnt,
+     exp_total) = _post_join_stage(Bm, Cv, Ev, lengths_d, int(rsoe),
+                                   int(soes))
+    C3 = _round_cap(int(exp_total))
+    max_off = max(1, min(max_len, cap) - int(rsoe))
+    W3 = packing.words_for(min(max_off, min(max_len, cap)))
+    out, nkeep = _dominate_and_compact(
+        packed_d, lengths_d, psrc, pdst, pell, pair_valid, rs, re_,
+        r_start, cnt, C3, W3)
+    m = int(nkeep)
+    edges = np.asarray(out[: 3 * m]).reshape(m, 3)
+    return OverlapGraph(n, edges[:, 0].copy(), edges[:, 1].copy(),
+                        edges[:, 2].copy())
+
+
 def find_exact_overlaps_device(packed_np, lengths_np, ell_min: int, cap: int,
                                align_from=None, align_to=None):
     """Device-join twin of prefsuf.find_exact_overlaps."""

@@ -185,12 +185,13 @@ def build_gcps_graph(packed, lengths, n: int, ell_min: int, cap: int,
         if (_jax.default_backend() != "cpu"
                 and len(lengths) * n_windows >= 1 << 21
                 and n_windows <= 4096):
-            from alga_tpu.graph.device_join import find_exact_overlaps_device
-            matches = find_exact_overlaps_device(
-                packed, lengths, ell_min, cap, align_from, align_to)
-        else:
-            matches = find_exact_overlaps(packed, lengths, ell_min, cap,
-                                          align_from, align_to, codes=codes)
+            # full device path: join + post-join stages; only final edges
+            # cross device->host
+            from alga_tpu.graph.device_join import gcps_graph_device
+            return gcps_graph_device(packed, lengths, n, ell_min, cap,
+                                     rsoe, soes, align_from, align_to)
+        matches = find_exact_overlaps(packed, lengths, ell_min, cap,
+                                      align_from, align_to, codes=codes)
     from alga_tpu import native as _native
     if _native.available():
         return _native.gcps_from_matches(n, matches, packed, lengths,

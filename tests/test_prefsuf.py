@@ -159,3 +159,55 @@ def test_device_join_with_masks(rng):
     s1 = set(zip(m1.src.tolist(), m1.dst.tolist(), m1.ell.tolist()))
     s2 = set(zip(m2.src.tolist(), m2.dst.tolist(), m2.ell.tolist()))
     assert s1 == s2
+
+
+def test_gcps_graph_device_matches_fallbacks(rng):
+    """The full device GCPS path (join + ring/dedup/domination on device)
+    must produce the identical edge set and order as the Python fallback
+    and the native engine, including repeat-heavy genomes where the ring
+    buffer and domination pruning both fire."""
+    from alga_tpu.graph.device_join import gcps_graph_device
+    from alga_tpu import native as native_mod
+
+    for trial in range(4):
+        # repeat-rich genome: tandem duplications force regime-1/regime-2
+        # interactions and dominated edges
+        core = random_genome(rng, 120)
+        g = core + core[:60] + random_genome(rng, 150) + core[40:100]
+        seqs = reads_from_genome(g, 50, 3)
+        packed, lengths = packing.pack_strings(seqs)
+        n = len(seqs)
+        ell_min = 14 + trial
+        rsoe = 25 + 3 * trial
+        m = prefsuf.find_exact_overlaps(packed, lengths, ell_min, 500)
+        py = prefsuf.build_gcps_graph(packed, lengths, n, ell_min, 500,
+                                      rsoe, soes=3, matches=m)
+        dev = gcps_graph_device(packed, lengths, n, ell_min, 500, rsoe, 3)
+        # edge order is canonicalized downstream (adjacency re-sorted per
+        # node); compare canonical triples
+        def canon(g):
+            o = np.lexsort((g.offset, g.dst, g.src))
+            return np.stack([g.src[o], g.dst[o], g.offset[o]])
+        assert np.array_equal(canon(py), canon(dev))
+        if native_mod.available():
+            nat = native_mod.gcps_from_matches(n, m, packed, lengths,
+                                               rsoe, 3)
+            assert np.array_equal(canon(nat), canon(dev))
+
+
+def test_gcps_graph_device_with_masks(rng):
+    from alga_tpu.graph.device_join import gcps_graph_device
+    g = random_genome(rng, 400)
+    seqs = reads_from_genome(g, 40, 4)
+    packed, lengths = packing.pack_strings(seqs)
+    n = len(seqs)
+    af = rng.random(n) > 0.25
+    at = rng.random(n) > 0.25
+    m = prefsuf.find_exact_overlaps(packed, lengths, 12, 500, af, at)
+    py = prefsuf.build_gcps_graph(packed, lengths, n, 12, 500, 20, soes=3,
+                                  matches=m, align_from=af, align_to=at)
+    dev = gcps_graph_device(packed, lengths, n, 12, 500, 20, 3, af, at)
+    def canon(g):
+        o = np.lexsort((g.offset, g.dst, g.src))
+        return np.stack([g.src[o], g.dst[o], g.offset[o]])
+    assert np.array_equal(canon(py), canon(dev))
