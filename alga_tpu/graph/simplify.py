@@ -218,7 +218,10 @@ def remove_dangling_branches(g: OverlapGraph, max_offset: int) -> tuple[OverlapG
             for e in _dangling_edges_from_seed(adj.out, seed, max_offset):
                 to_remove.add(e)
     removed = 0
-    for a, b in to_remove:
+    # sorted removal order matches the native engine's sort+unique
+    # (native/alga_host.cpp remove_dangling); swap-pop adjacency order feeds
+    # later passes, so twin ORDER parity requires identical removal order
+    for a, b in sorted(to_remove):
         if adj.remove_edge(a, b):
             removed += 1
     return adj.to_graph(), removed
@@ -265,4 +268,7 @@ def simplify_graph_old(g: OverlapGraph, batch,
             # ref early break :212-214 (0-based i >= 15)
             break
     batch.valid &= ~g.isolated_nodes()
-    return g
+    # canonical (src, offset, dst) order on exit: the reference sorts right
+    # after simplifyGraphOld anyway (retainOnlySmallestOffset, main.cpp:416),
+    # and a deterministic exit order makes the native twin byte-comparable
+    return g.sorted_by_src_offset()

@@ -180,8 +180,141 @@ def banded_lcs(codes, lengths, r1, r2, offsets, max_len: int, E: int = 2):
 
 
 # ---------------------------------------------------------------------------
+# batched ACH (guards + ACLER [+ banded LCS fallback]) with host/device
+# dispatch — the production verifier for the LI/PKB supplement
+# (ref ACHybrid.cpp:46-86 semantics over M pairs at once).
+
+def np_ach_batch(codes, lengths, r1, r2, offsets, cfg,
+                 chunk: int = 1 << 18) -> np.ndarray:
+    """bool[M]: vectorized numpy twin of np_ach_can_align over pairs."""
+    r1 = np.asarray(r1, dtype=np.int64)
+    r2 = np.asarray(r2, dtype=np.int64)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    lengths = np.asarray(lengths, dtype=np.int64)
+    m = len(r1)
+    out = np.zeros(m, dtype=bool)
+    for a in range(0, m, chunk):
+        b = min(a + chunk, m)
+        out[a:b] = _np_ach_chunk(codes, lengths, r1[a:b], r2[a:b],
+                                 offsets[a:b], cfg)
+    return out
+
+
+def _np_ach_chunk(codes, lengths, r1, r2, offsets, cfg):
+    len1 = lengths[r1]
+    len2 = lengths[r2]
+    ok = 100 * offsets <= cfg.max_offset_considered_for_alignment * len1
+    ok &= offsets >= cfg.min_offset_for_alignment
+    overlap = np.minimum(len1, len2 + offsets) - offsets
+    ok &= overlap >= cfg.min_overlap_area
+    ok &= (len2 + offsets - len1) >= 0
+    if not ok.any():
+        return ok
+
+    lpad = codes.shape[1]
+    ovmax = int(np.where(ok, overlap, 0).max())
+    cols = np.arange(ovmax, dtype=np.int64)[None, :]
+    av = codes[r1[:, None], np.minimum(offsets[:, None] + cols, lpad - 1)]
+    bv = codes[r2[:, None], np.minimum(cols, lpad - 1)]
+    in_ov = cols < overlap[:, None]
+    x = (av ^ bv).astype(np.uint8)
+    x = np.where(in_ov, x, 0)
+    # bit-level diff count (ref ACLER.cpp:29-36)
+    bitdiff = ((x & 1) + (x >> 1)).sum(axis=1, dtype=np.int64)
+    seq_overlap = (2 * overlap - bitdiff) >> 1
+
+    sel = cfg.alignment_controller_same_ends_length
+    front_bad = ((x != 0) & (cols < sel)).any(axis=1)
+    # the front window covers bit [0, 2*sel] inclusive: the low bit of base
+    # `sel` also participates (reference quirk, ref ACLER.cpp:42-45)
+    if ovmax > sel:
+        front_bad |= ((x[:, sel] & 1) != 0) & (overlap > sel)
+    back_bad = ((x != 0) & (cols >= (overlap - sel)[:, None])).any(axis=1)
+
+    acler = ok & ~front_bad & ~back_bad & \
+        (100 * seq_overlap >= cfg.minimal_overlap_for_lcs_low_error * overlap)
+
+    if cfg.use_acler_instead_of_aclcs:
+        return acler
+
+    # banded-LCS fallback for ACLER rejects (ref ACHybrid.cpp:64-75)
+    need = ok & ~acler
+    if need.any():
+        idx = np.flatnonzero(need)
+        max_len = codes.shape[1]
+        lcs = np.asarray(banded_lcs(
+            jnp.asarray(codes), jnp.asarray(lengths.astype(np.int32)),
+            jnp.asarray(r1[idx].astype(np.int32)),
+            jnp.asarray(r2[idx].astype(np.int32)),
+            jnp.asarray(offsets[idx].astype(np.int32)),
+            max_len, cfg.max_error_rate_for_lcs))
+        acler[idx] = 100 * lcs > cfg.minimal_overlap_rate_for_lcs * overlap[idx]
+    return acler
+
+
+def ach_batch_auto(packed, codes, lengths, r1, r2, offsets, cfg,
+                   min_device_batch: int = 200_000) -> np.ndarray:
+    """bool[M]: ACH over pairs with backend dispatch — numpy twin for small
+    batches, the XLA/Pallas device kernels (padded to a power-of-two batch
+    so compiled executables are reused) for large ones."""
+    m = len(r1)
+    if m == 0:
+        return np.zeros(0, dtype=bool)
+    if m < min_device_batch or packed is None:
+        if codes is None:
+            from alga_tpu.core import packing
+            codes = packing.packed_to_codes(packed)
+        return np_ach_batch(codes, lengths, r1, r2, offsets, cfg)
+
+    from alga_tpu.ops.bitops import _pad_pow2
+    cap = 1 << (m - 1).bit_length()
+    r1p = _pad_pow2(np.asarray(r1, dtype=np.int32), cap)
+    r2p = _pad_pow2(np.asarray(r2, dtype=np.int32), cap)
+    # pad offsets with -1 so padded lanes fail the offsets>=0 guard
+    op = _pad_pow2(np.asarray(offsets, dtype=np.int32), cap, fill=-1)
+    num_words = packed.shape[1]
+    acler = np.asarray(acler_batch(
+        packed, np.asarray(lengths, dtype=np.int32), r1p, r2p, op, num_words,
+        cfg.max_offset_considered_for_alignment, cfg.min_overlap_area,
+        cfg.minimal_overlap_for_lcs_low_error,
+        cfg.alignment_controller_same_ends_length))[:m]
+
+    lengths = np.asarray(lengths, dtype=np.int64)
+    r1 = np.asarray(r1, dtype=np.int64)
+    r2 = np.asarray(r2, dtype=np.int64)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    len1 = lengths[r1]
+    len2 = lengths[r2]
+    # ACH-level guards the device ACLER kernel does not apply
+    guards = (offsets >= cfg.min_offset_for_alignment) & \
+             (len2 + offsets - len1 >= 0)
+    ok = acler & guards
+    if cfg.use_acler_instead_of_aclcs:
+        return ok
+
+    overlap = np.minimum(len1, len2 + offsets) - offsets
+    full_guard = guards & (100 * offsets <= cfg.max_offset_considered_for_alignment * len1) & \
+        (overlap >= cfg.min_overlap_area)
+    need = full_guard & ~ok
+    if need.any():
+        if codes is None:
+            from alga_tpu.core import packing
+            codes = packing.packed_to_codes(packed)
+        idx = np.flatnonzero(need)
+        max_len = codes.shape[1]
+        lcs = np.asarray(banded_lcs(
+            jnp.asarray(codes), jnp.asarray(lengths.astype(np.int32)),
+            jnp.asarray(r1[idx].astype(np.int32)),
+            jnp.asarray(r2[idx].astype(np.int32)),
+            jnp.asarray(offsets[idx].astype(np.int32)),
+            max_len, cfg.max_error_rate_for_lcs))
+        ok[idx] = 100 * lcs > cfg.minimal_overlap_rate_for_lcs * overlap[idx]
+    return ok
+
+
+# ---------------------------------------------------------------------------
 # host scalar oracles / sequential implementations (used by the PKB
-# supplement loop and tests)
+# supplement oracle loop and tests)
 
 def np_acler(codes, lengths, i1, i2, offset, *, max_offset_percent,
              min_overlap_area, min_overlap_for_lcs_low_error,

@@ -86,36 +86,52 @@ def build_graph_phase(batch: SeqBatch, cfg: TunedConfig, timers: PhaseTimer):
     return g
 
 
-class _AdjAdapter:
-    """Dict adjacency for the sequential PKB loop."""
+class SupplementAdj:
+    """Adjacency view for the PKB replay: searchsorted lookups into the
+    existing graph's sorted (src, dst) key array, plus a dict overlay of
+    edges added/lowered during the supplement.  O(log E) per lookup with
+    no O(E) Python dict materialization."""
 
     def __init__(self, g):
-        self.adj: dict[int, dict[int, int]] = {}
-        for s, d, o in zip(g.src.tolist(), g.dst.tolist(), g.offset.tolist()):
-            self.adj.setdefault(s, {})
-            cur = self.adj[s].get(d)
-            if cur is None or o < cur:
-                self.adj[s][d] = o
+        self.g = g
+        key = g.src.astype(np.int64) * np.int64(g.n) + g.dst
+        order = np.argsort(key, kind="stable")
+        self._keys = key[order]
+        self._offs = g.offset[order]
+        self.n = g.n
+        self.overlay: dict[int, int] = {}
+        self._searchsorted = np.searchsorted
 
     def get_offset(self, a, b):
-        return self.adj.get(a, {}).get(b)
+        k = a * self.n + b
+        cur = self.overlay.get(k)
+        p = int(self._searchsorted(self._keys, k))
+        if p < len(self._keys) and self._keys[p] == k:
+            base = int(self._offs[p])
+            return base if cur is None or base < cur else cur
+        return cur
 
     def add_min(self, a, b, offset):
-        cur = self.get_offset(a, b)
+        k = a * self.n + b
+        cur = self.overlay.get(k)
         if cur is None or offset < cur:
-            self.adj.setdefault(a, {})[b] = offset
+            self.overlay[k] = offset
 
-    def to_graph(self, n):
+    def to_graph(self):
+        """Original edges + overlay edges, min-offset deduped."""
         from alga_tpu.graph.overlap_graph import OverlapGraph
-        src, dst, off = [], [], []
-        for a, d in self.adj.items():
-            for b, o in d.items():
-                src.append(a)
-                dst.append(b)
-                off.append(o)
-        return OverlapGraph(n, np.asarray(src, dtype=np.int32),
-                            np.asarray(dst, dtype=np.int32),
-                            np.asarray(off, dtype=np.int32))
+        if not self.overlay:
+            return self.g.retain_min_offset()
+        ks = np.fromiter(self.overlay.keys(), dtype=np.int64,
+                         count=len(self.overlay))
+        os_ = np.fromiter(self.overlay.values(), dtype=np.int32,
+                          count=len(self.overlay))
+        merged = OverlapGraph(
+            self.g.n,
+            np.concatenate([self.g.src, (ks // self.n).astype(np.int32)]),
+            np.concatenate([self.g.dst, (ks % self.n).astype(np.int32)]),
+            np.concatenate([self.g.offset, os_]))
+        return merged.retain_min_offset()
 
 
 def run_supplement(g, batch: SeqBatch, tcfg: TunedConfig):
@@ -130,11 +146,11 @@ def run_supplement(g, batch: SeqBatch, tcfg: TunedConfig):
     align_from = (indeg > 0) & (outdeg == 0)
     scfg = supplement_retune(tcfg, batch.avg_read_length())
 
-    adapter = _AdjAdapter(g)
+    adapter = SupplementAdj(g)
     codes = batch.codes()
     supp.pkb_supplement(adapter, codes, batch.lengths, batch.lengths, scfg,
-                        align_from, align_to)
-    out = adapter.to_graph(g.n).retain_min_offset()
+                        align_from, align_to, packed=batch.packed)
+    out = adapter.to_graph()
     _log(f"supplement: {out.num_edges - g.num_edges:+d} edges")
     return out
 

@@ -281,6 +281,10 @@ int64_t alga_simplify_graph_old(
         if (iterations >= 16 && removed <= 30) break;  // ref :212-214
     }
     mark_isolated(g, valid);
+    // canonical (src, offset, dst) exit order — twin-parity with the Python
+    // path (see simplify.simplify_graph_old), matching the reference's
+    // immediate post-simplifier sort (retainOnlySmallestOffset, main.cpp:416)
+    g.sort_by_offset();
     return g.dump(out_src, out_dst, out_off);
 }
 

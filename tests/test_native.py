@@ -36,7 +36,7 @@ def random_graph(rng, n, e, wmax=40):
     return [(a, b, w) for (a, b), w in seen.items()]
 
 
-@pytest.mark.parametrize("seed", range(5))
+@pytest.mark.parametrize("seed", range(20))
 def test_native_simplify_matches_python(seed):
     rng = np.random.default_rng(seed)
     n = 80
@@ -49,7 +49,12 @@ def test_native_simplify_matches_python(seed):
     bn = _Batch(n)
     gn = native_mod.simplify_graph_old(g.copy(), bn, 250, 250)
 
-    assert gn.edge_set() == gp.edge_set()
+    # ORDER-exact comparison: both twins exit in canonical (src, offset,
+    # dst) order; divergence here would leak into contraction/walk/contig
+    # order downstream
+    np.testing.assert_array_equal(gn.src, gp.src)
+    np.testing.assert_array_equal(gn.dst, gp.dst)
+    np.testing.assert_array_equal(gn.offset, gp.offset)
     np.testing.assert_array_equal(bn.valid, bp.valid)
 
 
