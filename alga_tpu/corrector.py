@@ -71,15 +71,16 @@ def _window_hashes(codes: np.ndarray, lengths: np.ndarray):
     return bH, sH, valid
 
 
-def build_spectrum(codes: np.ndarray, lengths: np.ndarray, valid_reads) -> dict:
-    """bH -> {sH} support map (only pairs with count >= threshold kept)."""
+def spectrum_pairs(codes: np.ndarray, lengths: np.ndarray, valid_reads):
+    """Sorted supported (bH, sH) pair arrays (count >= threshold kept)."""
     ok = np.asarray(valid_reads, dtype=bool) & (lengths >= SMALL + BIG)
     bH, sH, wvalid = _window_hashes(codes, lengths)
     wvalid = wvalid & ok[:, None]
     b = bH[wvalid]
     s = sH[wvalid]
     if len(b) == 0:
-        return {}
+        z = np.zeros(0, dtype=np.int64)
+        return z, z.copy()
     order = np.lexsort((s, b))
     b, s = b[order], s[order]
     first = np.ones(len(b), dtype=bool)
@@ -87,7 +88,13 @@ def build_spectrum(codes: np.ndarray, lengths: np.ndarray, valid_reads) -> dict:
     idx = np.flatnonzero(first)
     counts = np.diff(np.append(idx, len(b)))
     keep = counts >= CANDIDATE_THRESHOLD
-    bk, sk = b[idx[keep]], s[idx[keep]]
+    return b[idx[keep]], s[idx[keep]]
+
+
+def build_spectrum(codes: np.ndarray, lengths: np.ndarray, valid_reads) -> dict:
+    """bH -> {sH} support map (dict view of spectrum_pairs; insertion order
+    = sH ascending within each bH, which fixes candidate iteration order)."""
+    bk, sk = spectrum_pairs(codes, lengths, valid_reads)
     spectrum: dict[int, dict[int, int]] = {}
     for bb, ss in zip(bk.tolist(), sk.tolist()):
         spectrum.setdefault(bb, {})[ss] = 1
@@ -165,14 +172,40 @@ def _correct_one(row: np.ndarray, length: int, spectrum: dict) -> bool:
 
 def correct_reads(codes: np.ndarray, lengths: np.ndarray, valid) -> int:
     """Two-direction correction over the whole batch; mutates `codes`.
-    Returns number of reads changed."""
+    Returns number of (read, direction) fix-ups applied.
+
+    Fast path: the native multithreaded fix-up loop (alga_correct_pass),
+    sub-linear in Python ops; `correct_reads_py` is the oracle."""
+    from alga_tpu import native
     lengths = np.asarray(lengths, dtype=np.int64)
+    valid = np.asarray(valid, dtype=bool)
+    if not native.available():
+        return correct_reads_py(codes, lengths, valid)
+
     total_changed = 0
     for reversed_dir in (False, True):
         view = codes
         if reversed_dir:
             # index-reversed (NOT complemented) per-read view
             # (ref accessReadPosition:315-321)
+            view = _reverse_rows(codes, lengths)
+        bk, sk = spectrum_pairs(view, lengths, valid)
+        view = np.ascontiguousarray(view)
+        total_changed += native.correct_pass(view, lengths, valid, bk, sk)
+        if reversed_dir:
+            codes[:] = _reverse_rows(view, lengths)
+        else:
+            codes[:] = view
+    return total_changed
+
+
+def correct_reads_py(codes: np.ndarray, lengths: np.ndarray, valid) -> int:
+    """Pure-Python twin of correct_reads (differential oracle)."""
+    lengths = np.asarray(lengths, dtype=np.int64)
+    total_changed = 0
+    for reversed_dir in (False, True):
+        view = codes
+        if reversed_dir:
             view = _reverse_rows(codes, lengths)
         spectrum = build_spectrum(view, lengths, valid)
 

@@ -134,17 +134,18 @@ def preprocess_reads(seqs: list[str], *, trim_left: int = 3, trim_right: int = 3
     return codes, lengths, dropped
 
 
-def _build_read_batch_native(file1_seqs, file2_seqs, *, trim_left=3,
-                             trim_right=3, rna=False, str_period=20) -> SeqBatch:
-    """Native fast path: one fused multithreaded C++ pass from raw bytes to
-    the interleaved [rc, fwd] packed rows (alga_preprocess_pack)."""
+def _build_read_batch_native_mats(r1, rl1, r2=None, rl2=None, *,
+                                  trim_left=3, trim_right=3, rna=False,
+                                  str_period=20) -> SeqBatch:
+    """Native fast path from raw ASCII byte matrices: one fused
+    multithreaded C++ pass to the interleaved [rc, fwd] packed rows
+    (alga_preprocess_pack)."""
     from alga_tpu import native
 
-    paired = file2_seqs is not None and len(file2_seqs) > 0
-    r1, rl1 = packing.strings_to_byte_matrix(file1_seqs)
-    m = len(file1_seqs)
+    paired = r2 is not None
+    m = r1.shape[0]
     if paired:
-        r2, rl2 = packing.strings_to_byte_matrix(file2_seqs)
+        assert r2.shape[0] == m, "mate files must align"
         lpad = max(r1.shape[1], r2.shape[1])
         nrows, step = 4 * m, 4
     else:
@@ -162,6 +163,49 @@ def _build_read_batch_native(file1_seqs, file2_seqs, *, trim_left=3,
         native.preprocess_pack(r2, rl2, out_base=3, **kw)
     batch = SeqBatch(packed, lengths, ~dropped.astype(bool))
     return batch
+
+
+def _build_read_batch_native(file1_seqs, file2_seqs, **kw) -> SeqBatch:
+    """List-of-str front end of the native fast path (kept for callers that
+    already materialized sequences)."""
+    paired = file2_seqs is not None and len(file2_seqs) > 0
+    r1, rl1 = packing.strings_to_byte_matrix(file1_seqs)
+    r2 = rl2 = None
+    if paired:
+        r2, rl2 = packing.strings_to_byte_matrix(file2_seqs)
+    return _build_read_batch_native_mats(r1, rl1, r2, rl2, **kw)
+
+
+def load_read_batch(file1: str, file2: str | None = None,
+                    **pre_kwargs) -> SeqBatch:
+    """File path -> SeqBatch without a list[str] detour: the file bytes are
+    read in one gulp and parsed by the multithreaded native scanner
+    (native.fastx_parse, the P7 parallel-ingest equivalent of ref
+    InputReader.cpp:272-391), feeding the fused preprocess+pack pass.
+    Python-heap overhead is O(1); falls back to the list[str] path when the
+    native library is unavailable or N-randomization is requested."""
+    from alga_tpu import native
+
+    if pre_kwargs.get("remove_reads_with_n", True) and native.available():
+        kw = {k: v for k, v in pre_kwargs.items()
+              if k in ("trim_left", "trim_right", "rna", "str_period")}
+        def _parse(path):
+            # mmap the file: the parser reads pages straight from the page
+            # cache, no extra copy
+            buf = np.memmap(path, dtype=np.uint8, mode="r")
+            if len(buf) == 0:
+                return (np.zeros((0, 1), np.uint8), np.zeros(0, np.int64))
+            return native.fastx_parse(np.asarray(buf), detect_format(path))
+
+        r1, rl1 = _parse(file1)
+        r2 = rl2 = None
+        if file2:
+            r2, rl2 = _parse(file2)
+        return _build_read_batch_native_mats(r1, rl1, r2, rl2, **kw)
+
+    seqs1 = read_sequences(file1)
+    seqs2 = read_sequences(file2) if file2 else None
+    return build_read_batch(seqs1, seqs2, **pre_kwargs)
 
 
 def build_read_batch(file1_seqs: list[str], file2_seqs: list[str] | None = None,

@@ -90,3 +90,34 @@ def write_contigs(contigs: list[Contig], path: str, rna: bool = False) -> None:
         for c in contigs:
             s = c.seq.replace("T", "U") if rna else c.seq
             f.write(f">contig_id={c.cid}_length={len(s)}\n{s}\n")
+
+
+def write_corrected_fasta(batch, paired: bool, prefix: str) -> None:
+    """Corrected-read FASTA dump for --correct_reads=2 (ref
+    Global::generateFasta, Global.cpp:78-119, invoked main.cpp:122-127).
+
+    Writes <prefix>_1.fasta and <prefix>_2.fasta with headers '>i' (global
+    read slot id).  Revcomp rows (even ids) are skipped in both files; for
+    paired input, file-2 mates (i%4==3) are skipped from _1 and file-1
+    mates (i%4==1) from _2 (for unpaired input the reference writes the
+    same content to both files — replicated).  Invalidated reads are
+    written as 100 Ns (the reference's nullptr rows)."""
+    n_string = "N" * 100
+    codes = batch.codes()
+    lengths = batch.lengths
+    lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+    def seq(i: int) -> str:
+        if not batch.valid[i]:
+            return n_string
+        return lut[codes[i, : int(lengths[i])]].tobytes().decode()
+
+    for fileno in (1, 2):
+        skip_mod = 3 if fileno == 1 else 1
+        with open(f"{prefix}_{fileno}.fasta", "w") as f:
+            for i in range(len(batch)):
+                if i % 2 == 0:          # ADD_COMP_REV_READS is always on
+                    continue
+                if paired and i % 4 == skip_mod:
+                    continue
+                f.write(f">{i}\n{seq(i)}\n")

@@ -76,6 +76,20 @@ def get_lib():
         ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int64, ctypes.c_int64,
         i64p, i32p, i32p]
+
+    lib.alga_correct_pass.restype = ctypes.c_int64
+    lib.alga_correct_pass.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int64, i64p, u8p, i64p, i64p,
+        ctypes.c_int64, ctypes.c_int32]
+
+    lib.alga_fastx_scan.restype = ctypes.c_int64
+    lib.alga_fastx_scan.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int32, i64p, i64p, ctypes.c_int64,
+        i64p, ctypes.c_int32]
+    lib.alga_fastx_fill.restype = None
+    lib.alga_fastx_fill.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int64, u8p, i64p,
+        ctypes.c_int64, i64p, ctypes.c_int64]
     _lib = lib
     return lib
 
@@ -100,6 +114,48 @@ def preprocess_pack(raw, raw_lens, *, trim_left: int, trim_right: int,
         trim_left, trim_right, 1 if rna else 0, str_period,
         out_base, out_step, out_packed.shape[1],
         out_packed, out_lengths, out_dropped, nthreads)
+
+
+_FX_FMT = {"my_input": 0, "fasta": 1, "fastq": 2}
+
+
+def fastx_parse(buf: np.ndarray, fmt: str, nthreads: int = 0):
+    """Parallel FASTX parse of a raw file buffer (uint8[size]) into a dense
+    byte matrix (uint8[n, maxlen]) + lengths (int64[n]) — the P7 ingest
+    (ref InputReader.cpp:272-391) with chunked threads over one mmap'd
+    buffer instead of T file handles."""
+    lib = get_lib()
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    fmt_i = _FX_FMT[fmt]
+    maxlen = np.zeros(1, dtype=np.int64)
+    cap = max(256, (os.cpu_count() or 1) * 4)
+    meta = np.zeros(3 * cap, dtype=np.int64)
+    nchunks = np.zeros(1, dtype=np.int64)
+    n = int(lib.alga_fastx_scan(buf, len(buf), fmt_i, maxlen, meta, cap,
+                                nchunks, nthreads))
+    lpad = max(1, int(maxlen[0]))
+    mat = np.zeros((n, lpad), dtype=np.uint8)
+    lens = np.zeros(n, dtype=np.int64)
+    if n:
+        lib.alga_fastx_fill(buf, len(buf), fmt_i, lpad, mat, lens, n,
+                            meta, int(nchunks[0]))
+    return mat, lens
+
+
+def correct_pass(codes: np.ndarray, lengths, valid, spec_b, spec_s,
+                 nthreads: int = 0) -> int:
+    """One direction of the k-mer-spectrum corrector fix-up, parallel over
+    reads (ref ReadCorrector::applyCorrectionToRead).  Mutates `codes` in
+    place; returns the number of reads changed."""
+    lib = get_lib()
+    assert codes.flags["C_CONTIGUOUS"]
+    lengths = np.ascontiguousarray(lengths, dtype=np.int64)
+    valid = np.ascontiguousarray(np.asarray(valid, dtype=bool).view(np.uint8))
+    spec_b = np.ascontiguousarray(spec_b, dtype=np.int64)
+    spec_s = np.ascontiguousarray(spec_s, dtype=np.int64)
+    return int(lib.alga_correct_pass(
+        codes, codes.shape[0], codes.shape[1], lengths, valid,
+        spec_b, spec_s, len(spec_b), nthreads))
 
 
 def simplify_graph_old(g, batch, mopp: int, modb: int):

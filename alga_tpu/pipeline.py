@@ -163,18 +163,22 @@ def assemble(cfg: AssemblyConfig,
 
     # --- input ------------------------------------------------------------
     with timers.phase("input_reader"):
-        if file1_seqs is None:
-            file1_seqs = fastx.read_sequences(cfg.file1)
-        if file2_seqs is None and cfg.file2:
-            file2_seqs = fastx.read_sequences(cfg.file2)
-        batch = fastx.build_read_batch(
-            file1_seqs, file2_seqs,
+        pre_kw = dict(
             trim_left=cfg.read_end_trim_left,
             trim_right=cfg.read_end_trim_right,
             remove_reads_with_n=cfg.remove_reads_with_n,
             rna=cfg.rna,
             str_period=cfg.str_period_threshold,
         )
+        if file1_seqs is None:
+            # parallel native ingest (P7): file bytes -> byte matrix ->
+            # fused preprocess+pack, no list[str] materialization
+            paired_input = bool(cfg.file2)
+            batch = fastx.load_read_batch(cfg.file1, cfg.file2 or None,
+                                          **pre_kw)
+        else:
+            paired_input = bool(file2_seqs)
+            batch = fastx.build_read_batch(file1_seqs, file2_seqs, **pre_kw)
     _log(f"{batch.count_valid()} valid reads of {len(batch)} slots")
 
     # --- autotune (ref main.cpp:93-115) ------------------------------------
@@ -197,6 +201,11 @@ def assemble(cfg: AssemblyConfig,
                 codes, batch.lengths, batch.width_words)
         _log(f"read corrector changed {nchanged} reads")
         if tcfg.correct_reads == 2:
+            # correct-only mode: dump the corrected reads and stop
+            # (ref main.cpp:122-127 -> Global::generateFasta)
+            prefix = tcfg.output.rsplit(".", 1)[0] + "_algacorrect"
+            output.write_corrected_fasta(batch, paired_input, prefix)
+            _log(f"corrected reads written to {prefix}_{{1,2}}.fasta")
             timers.stop("total")
             return AssemblyResult([], tcfg, timers, {"corrected": nchanged})
 
@@ -207,7 +216,7 @@ def assemble(cfg: AssemblyConfig,
     _log(f"{int(marked.sum())} prefix/duplicate reads removed")
 
     # --- remap to dense ids -------------------------------------------------
-    batch = remap_paired_offsets(batch, paired=bool(file2_seqs))
+    batch = remap_paired_offsets(batch, paired=paired_input)
     _log(f"{len(batch)} reads after remap")
 
     # --- overlap graph (with optional checkpoint, ref main.cpp:242-296) -----
@@ -263,7 +272,7 @@ def assemble(cfg: AssemblyConfig,
         with timers.phase("contract_walk_native"):
             read_lists = native_mod.contract_and_walk(
                 g, batch, tcfg.max_offset_parallel_paths,
-                tcfg.contig_min_output_length, paired=bool(file2_seqs),
+                tcfg.contig_min_output_length, paired=paired_input,
                 min_paired_connections=tcfg.min_paired_connections,
                 max_insert_size=tcfg.max_length_of_insert_size)
             contigs = [walk_mod.Contig(i, "", rl)
@@ -280,7 +289,7 @@ def assemble(cfg: AssemblyConfig,
 
         with timers.phase("contig_creator"):
             reliable = walk_mod.mark_reliable_predecessors(
-                cg, batch, paired=bool(file2_seqs),
+                cg, batch, paired=paired_input,
                 avg_read_length=batch.avg_read_length(),
                 min_paired_connections=tcfg.min_paired_connections,
                 max_insert_size=tcfg.max_length_of_insert_size)

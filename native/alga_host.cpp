@@ -862,3 +862,387 @@ void alga_preprocess_pack(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Parallel FASTX ingest (ref src/IO/InputReader.cpp:272-391): the reference
+// opens the input file once per thread and lets thread t parse records
+// congruent to t mod T.  Here the whole file is one host buffer and T
+// threads scan disjoint line-aligned byte ranges in exactly TWO passes:
+//
+//   scan: each chunk counts its lines/records and the max sequence length
+//         in ONE pass — FASTQ (whose sequence lines are global line index
+//         4k+1) counts records and maxlen under all 4 possible chunk
+//         phases simultaneously, and the right phase is selected after the
+//         cross-chunk line-count prefix sum; per-chunk prefixes are
+//         returned as metadata.
+//   fill: with the metadata, each chunk writes its sequences straight into
+//         the dense byte matrix — no per-record heap allocation.
+//
+// The Python twin (fastx.read_sequences, a single-threaded line loop
+// materializing list[str]) remains the differential oracle.
+//
+// fmt: 0 = MY_INPUT (one sequence per line), 1 = FASTA ('>' headers,
+// multi-line records), 2 = FASTQ (4-line records).  Sequence bytes on each
+// line are cut at the first ' ' or '\r' (the twin's
+// line.strip().split(" ")[0]).
+
+namespace {
+
+// effective sequence length of line [p, q): cut at first ' ' or '\r'
+static inline int64_t fx_cut_len(const uint8_t* buf, int64_t p, int64_t q) {
+    const void* sp = memchr(buf + p, ' ', (size_t)(q - p));
+    const void* cr = memchr(buf + p, '\r', (size_t)(q - p));
+    int64_t e = q;
+    if (sp && (const uint8_t*)sp - buf < e) e = (const uint8_t*)sp - buf;
+    if (cr && (const uint8_t*)cr - buf < e) e = (const uint8_t*)cr - buf;
+    return e - p;
+}
+
+static inline int64_t fx_line_end(const uint8_t* buf, int64_t size,
+                                  int64_t p) {
+    const void* nl = memchr(buf + p, '\n', (size_t)(size - p));
+    return nl ? (const uint8_t*)nl - buf : size;
+}
+
+static vector<int64_t> fx_chunk_starts(const uint8_t* buf, int64_t size,
+                                       int T) {
+    vector<int64_t> starts;
+    starts.push_back(0);
+    for (int t = 1; t < T; t++) {
+        int64_t p = size * t / T;
+        const void* nl = memchr(buf + p, '\n', (size_t)(size - p));
+        int64_t s = nl ? (const uint8_t*)nl - buf + 1 : size;
+        if (s > starts.back() && s < size) starts.push_back(s);
+    }
+    return starts;
+}
+
+// FASTA record walk shared by scan and fill: calls fn(line_begin, cut_len)
+// for each sequence line of the run starting at rp; returns true if the
+// run has >= 1 line (twin emits a record even if all lines are empty).
+template <class F>
+static inline bool fx_fasta_run(const uint8_t* buf, int64_t size,
+                                int64_t rp, F&& fn) {
+    bool any = false;
+    while (rp < size) {
+        int64_t rq = fx_line_end(buf, size, rp);
+        if (rq > rp && buf[rp] == '>') break;
+        any = true;
+        fn(rp, fx_cut_len(buf, rp, rq));
+        rp = rq + 1;
+    }
+    return any;
+}
+
+struct FxScan {
+    int64_t lines = 0;
+    int64_t recs[4] = {0, 0, 0, 0};     // per chunk phase (FASTQ); [0] else
+    int64_t maxlen[4] = {0, 0, 0, 0};
+};
+
+static FxScan fx_scan_chunk(const uint8_t* buf, int64_t size, int fmt,
+                            int64_t begin, int64_t end, bool first_chunk) {
+    FxScan o;
+    int64_t p = begin;
+    if (fmt == 2) {  // FASTQ: bucket by local line index mod 4
+        while (p < end) {
+            int64_t q = fx_line_end(buf, size, p);
+            int b = (int)(o.lines & 3);
+            o.recs[b]++;
+            int64_t l = fx_cut_len(buf, p, q);
+            if (l > o.maxlen[b]) o.maxlen[b] = l;
+            o.lines++;
+            p = q + 1;
+        }
+    } else if (fmt == 0) {
+        while (p < end) {
+            int64_t q = fx_line_end(buf, size, p);
+            int64_t l = fx_cut_len(buf, p, q);
+            if (l > 0) {
+                o.recs[0]++;
+                if (l > o.maxlen[0]) o.maxlen[0] = l;
+            }
+            o.lines++;
+            p = q + 1;
+        }
+    } else {  // FASTA: '>' lines starting in-chunk own the following run
+        bool lead = first_chunk;
+        while (p < end) {
+            int64_t q = fx_line_end(buf, size, p);
+            bool hdr = q > p && buf[p] == '>';
+            if (hdr || (lead && p == 0 && !hdr)) {
+                int64_t rp = hdr ? q + 1 : 0;
+                int64_t rl = 0;
+                bool any = fx_fasta_run(buf, size, rp,
+                                        [&](int64_t, int64_t l) { rl += l; });
+                if (any) {
+                    o.recs[0]++;
+                    if (rl > o.maxlen[0]) o.maxlen[0] = rl;
+                }
+            }
+            lead = false;
+            o.lines++;
+            p = q + 1;
+        }
+    }
+    return o;
+}
+
+static void fx_fill_chunk(const uint8_t* buf, int64_t size, int fmt,
+                          int64_t begin, int64_t end, int64_t lines_before,
+                          int64_t recs_before, bool first_chunk,
+                          int64_t lpad, uint8_t* out, int64_t* out_lens,
+                          int64_t n) {
+    int64_t p = begin;
+    int64_t rec = recs_before;
+    if (fmt == 2) {
+        int64_t line = lines_before;
+        while (p < end) {
+            int64_t q = fx_line_end(buf, size, p);
+            if ((line & 3) == 1 && rec < n) {
+                int64_t l = fx_cut_len(buf, p, q);
+                if (l > lpad) l = lpad;
+                memcpy(out + rec * lpad, buf + p, (size_t)l);
+                out_lens[rec] = l;
+                rec++;
+            }
+            line++;
+            p = q + 1;
+        }
+    } else if (fmt == 0) {
+        while (p < end) {
+            int64_t q = fx_line_end(buf, size, p);
+            int64_t l = fx_cut_len(buf, p, q);
+            if (l > 0 && rec < n) {
+                if (l > lpad) l = lpad;
+                memcpy(out + rec * lpad, buf + p, (size_t)l);
+                out_lens[rec] = l;
+                rec++;
+            }
+            p = q + 1;
+        }
+    } else {
+        bool lead = first_chunk;
+        while (p < end) {
+            int64_t q = fx_line_end(buf, size, p);
+            bool hdr = q > p && buf[p] == '>';
+            if (hdr || (lead && p == 0 && !hdr)) {
+                int64_t rp = hdr ? q + 1 : 0;
+                int64_t rl = 0;
+                bool any = fx_fasta_run(
+                    buf, size, rp, [&](int64_t lp, int64_t l) {
+                        if (rl + l > lpad) l = lpad - rl;
+                        if (l > 0 && rec < n)
+                            memcpy(out + rec * lpad + rl, buf + lp,
+                                   (size_t)l);
+                        rl += l;
+                    });
+                if (any && rec < n) {
+                    out_lens[rec] = rl;
+                    rec++;
+                }
+            }
+            lead = false;
+            p = q + 1;
+        }
+    }
+}
+
+static int fx_threads(int64_t size, int32_t nthreads) {
+    int T = nthreads > 0 ? (int)nthreads
+                         : (int)std::thread::hardware_concurrency();
+    if (T < 1) T = 1;
+    if (size < (1 << 20)) T = 1;
+    return T;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Pass 1: one parallel scan.  Returns record count; sets *out_maxlen and
+// fills out_meta (int64[3 * nchunks_cap]: begin, lines_before, recs_before
+// per chunk) + *out_nchunks for reuse by alga_fastx_fill.  nchunks_cap
+// must be >= the thread count used (pass >= hardware_concurrency).
+int64_t alga_fastx_scan(const uint8_t* buf, int64_t size, int32_t fmt,
+                        int64_t* out_maxlen, int64_t* out_meta,
+                        int64_t nchunks_cap, int64_t* out_nchunks,
+                        int32_t nthreads) {
+    int T = fx_threads(size, nthreads);
+    auto starts = fx_chunk_starts(buf, size, T);
+    int C = (int)starts.size();
+    if (C > nchunks_cap) C = (int)nchunks_cap;   // never happens in binding
+    vector<FxScan> sc(C);
+    {
+        vector<std::thread> ths;
+        auto job = [&](int i) {
+            int64_t end = i + 1 < C ? starts[i + 1] : size;
+            sc[i] = fx_scan_chunk(buf, size, fmt, starts[i], end, i == 0);
+        };
+        for (int i = 1; i < C; i++) ths.emplace_back(job, i);
+        job(0);
+        for (auto& t : ths) t.join();
+    }
+    int64_t recs = 0, maxlen = 0, lines = 0;
+    for (int i = 0; i < C; i++) {
+        out_meta[3 * i] = starts[i];
+        out_meta[3 * i + 1] = lines;
+        out_meta[3 * i + 2] = recs;
+        if (fmt == 2) {
+            // seq lines are global index 4k+1: with this chunk starting at
+            // global line `lines`, the local bucket is (1 - lines) mod 4
+            int b = (int)(((1 - lines) % 4 + 4) % 4);
+            recs += sc[i].recs[b];
+            if (sc[i].maxlen[b] > maxlen) maxlen = sc[i].maxlen[b];
+        } else {
+            recs += sc[i].recs[0];
+            if (sc[i].maxlen[0] > maxlen) maxlen = sc[i].maxlen[0];
+        }
+        lines += sc[i].lines;
+    }
+    *out_maxlen = maxlen;
+    *out_nchunks = C;
+    return recs;
+}
+
+// Pass 2: parallel fill of uint8[n, lpad] (zero-initialized by caller) +
+// lengths int64[n], using the metadata from alga_fastx_scan.
+void alga_fastx_fill(const uint8_t* buf, int64_t size, int32_t fmt,
+                     int64_t lpad, uint8_t* out, int64_t* out_lens,
+                     int64_t n, const int64_t* meta, int64_t nchunks) {
+    int C = (int)nchunks;
+    vector<std::thread> ths;
+    auto job = [&](int i) {
+        int64_t end = i + 1 < C ? meta[3 * (i + 1)] : size;
+        fx_fill_chunk(buf, size, fmt, meta[3 * i], end, meta[3 * i + 1],
+                      meta[3 * i + 2], i == 0, lpad, out, out_lens, n);
+    };
+    for (int i = 1; i < C; i++) ths.emplace_back(job, i);
+    job(0);
+    for (auto& t : ths) t.join();
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Read-corrector fix-up pass (ref src/Corrector/ReadCorrector.cpp:188-294,
+// applyCorrectionToRead): the per-read sequential rolling-hash loop with
+// spectrum lookups, parallel over reads (each read is independent; the
+// spectrum is frozen — as in the reference, which builds the frequency map
+// once, ReadCorrector.cpp:96-157, then corrects).  The spectrum arrives as
+// (big-hash, small-mer) pairs sorted lexicographically — candidate
+// iteration order (small-mer ascending) matches the Python twin's dict
+// insertion order (alga_tpu/corrector.py::_correct_one, the oracle).
+
+extern "C" {
+
+int64_t alga_correct_pass(
+    uint8_t* codes, int64_t n, int64_t lpad, const int64_t* lengths,
+    const uint8_t* valid, const int64_t* sb, const int64_t* ss,
+    int64_t npairs, int32_t nthreads) {
+
+    const int SMALLC = 5, BIGC = 30;
+    const int64_t MAXH = 1000000000000000003LL;   // ref Params.cpp:721
+    const int64_t SMALL_POW = 256;                // 4^(SMALL-1)
+    int64_t BIG_POW = 1;                          // 4^(BIG-1)
+    for (int i = 0; i < BIGC - 1; i++) BIG_POW *= 4;
+
+    auto correct_row = [&](int64_t r) -> bool {
+        int64_t len = lengths[r];
+        if (!valid[r] || len < SMALLC + BIGC) return false;
+        uint8_t* row = codes + r * lpad;
+        bool changed = false;
+
+        int64_t sH = 0;
+        for (int i = 0; i < SMALLC; i++) sH = (sH << 2) + row[i];
+        int64_t bH = 0;
+        for (int i = SMALLC; i < SMALLC + BIGC; i++) {
+            bH = (bH << 2) + row[i];
+            while (bH >= MAXH) bH -= MAXH;
+        }
+        int64_t p = SMALLC, q = SMALLC + BIGC;
+
+        auto correct_local = [&](int64_t pp, int64_t sHv) -> int64_t {
+            const int64_t* lo = std::lower_bound(sb, sb + npairs, bH);
+            if (lo == sb + npairs || *lo != bH) return sHv;
+            const int64_t* hi = std::upper_bound(lo, sb + npairs, bH);
+            int64_t i0 = lo - sb, i1 = hi - sb;
+            if (std::binary_search(ss + i0, ss + i1, sHv)) return sHv;
+            int64_t closest = -1;
+            int min_dst = 1 << 30;
+            for (int64_t t = i0; t < i1; t++) {
+                int64_t smer = ss[t];
+                int dst = 0;
+                bool same_b = true;
+                for (int i = 0; i < SMALLC; i++) {
+                    int sp = (int)((smer >> (2 * i)) & 3);
+                    // mer bit-pair i vs READ position pp-SMALL+i — the
+                    // reference's reversed-window comparison quirk
+                    // (ref :231-247), write-back at pp-1-i (ref :263)
+                    int rp = row[pp - SMALLC + i];
+                    if (sp != rp) {
+                        dst++;
+                        if ((i == 0 || i == SMALLC - 1) && pp > SMALLC) {
+                            same_b = false;
+                            break;
+                        }
+                    }
+                }
+                if (same_b && dst < min_dst) {
+                    min_dst = dst;
+                    closest = smer;
+                }
+            }
+            if (min_dst > 1 || closest < 0) return sHv;   // MAX_SNPS = 1
+            for (int i = 0; i < SMALLC; i++)
+                row[pp - 1 - i] = (uint8_t)((closest >> (2 * i)) & 3);
+            changed = true;
+            return closest;
+        };
+
+        sH = correct_local(p, sH);
+        while (q < len) {
+            sH = ((sH - SMALL_POW * row[p - SMALLC]) << 2) + row[p];
+            bH -= BIG_POW * row[q - BIGC];
+            if (bH < 0) {
+                bH %= MAXH;
+                if (bH < 0) bH += MAXH;
+            }
+            bH = (bH << 2) + row[q];
+            while (bH >= MAXH) bH -= MAXH;
+            p++;
+            q++;
+            sH = correct_local(p, sH);
+        }
+        return changed;
+    };
+
+    int T = nthreads > 0 ? nthreads
+                         : (int)std::thread::hardware_concurrency();
+    if (T < 1) T = 1;
+    if (n < 4096) T = 1;
+    vector<int64_t> counts(T, 0);
+    auto job = [&](int t, int64_t a, int64_t b) {
+        int64_t c = 0;
+        for (int64_t r = a; r < b; r++)
+            if (correct_row(r)) c++;
+        counts[t] = c;
+    };
+    if (T == 1) {
+        job(0, 0, n);
+    } else {
+        vector<std::thread> ths;
+        int64_t blk = (n + T - 1) / T;
+        for (int t = 1; t < T; t++) {
+            int64_t a = t * blk, b = std::min(n, (t + 1) * blk);
+            if (a < b) ths.emplace_back(job, t, a, b);
+        }
+        job(0, 0, std::min(n, blk));
+        for (auto& th : ths) th.join();
+    }
+    int64_t total = 0;
+    for (auto c : counts) total += c;
+    return total;
+}
+
+}  // extern "C"

@@ -1,0 +1,54 @@
+"""Worker for the 2-process jax.distributed CPU test (run by
+tests/test_multihost.py).  Each process owns 4 virtual CPU devices of an
+8-device global mesh; the de-replicated sharded GCPS runs over the global
+mesh, with all_to_all traffic crossing the process boundary — the
+fake-backend analogue of a multi-host TPU pod slice (SURVEY.md §4-d).
+
+Usage: python tests/multihost_worker.py <process_id> <num_processes> <port>
+"""
+
+import os
+import sys
+
+
+def main() -> int:
+    pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=4").strip()
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/alga_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                               num_processes=nproc, process_id=pid)
+
+    import numpy as np
+    from alga_tpu.core import packing
+    from alga_tpu.graph import prefsuf
+    from alga_tpu.parallel import mesh as mesh_mod
+    from alga_tpu.parallel.sharded_gcps import gcps_graph_sharded
+
+    assert len(jax.devices()) == 4 * nproc
+    assert len(jax.local_devices()) == 4
+    mesh = mesh_mod.make_mesh()
+
+    rng = np.random.default_rng(2)
+    genome = "".join("ACGT"[i] for i in rng.integers(0, 4, size=400))
+    seqs = [genome[i: i + 48] for i in range(0, 400 - 48, 4)]
+    packed, lengths = packing.pack_strings(seqs)
+    n = len(seqs)
+
+    g_sharded = gcps_graph_sharded(mesh, packed, lengths, n, 20, 500, 35)
+    g_single = prefsuf.build_gcps_graph(packed, lengths, n, 20, 500, 35)
+    assert g_sharded.edge_set() == g_single.edge_set(), \
+        "multi-process sharded pipeline diverged from single-device graph"
+    assert g_sharded.num_edges > 0
+    print(f"proc {pid}: OK edges={g_sharded.num_edges}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -59,3 +59,59 @@ def test_pipeline_correct_reads_flag(rng):
                             error_rate=0.005)
     res = assemble(AssemblyConfig(correct_reads=1), file1_seqs=reads)
     assert res.contigs  # assembles after correction
+
+
+def test_native_matches_python(rng):
+    """Differential: the native multithreaded fix-up (alga_correct_pass)
+    must mutate codes identically to the pure-Python oracle."""
+    from alga_tpu import native
+    from alga_tpu.corrector import correct_reads_py
+    if not native.available():
+        import pytest
+        pytest.skip("native lib unavailable")
+
+    genome = "".join("ACGT"[i] for i in rng.integers(0, 4, 400))
+    reads = [genome[i: i + 80] for i in range(0, 320, 4)] * 3
+    # sprinkle errors
+    noisy = []
+    for j, r in enumerate(reads):
+        r = list(r)
+        for _ in range(int(rng.integers(0, 3))):
+            p = int(rng.integers(0, len(r)))
+            r[p] = "ACGT"[int(rng.integers(0, 4))]
+        noisy.append("".join(r))
+    codes_a, lengths = packing.strings_to_codes(noisy)
+    codes_b = codes_a.copy()
+    valid = np.ones(len(noisy), dtype=bool)
+    ca = correct_reads(codes_a, lengths, valid)       # native path
+    cb = correct_reads_py(codes_b, lengths, valid)    # oracle
+    assert ca == cb
+    assert (codes_a == codes_b).all()
+
+
+def test_corrected_fasta_dump(tmp_path, rng):
+    """--correct_reads=2 writes the *_algacorrect FASTA artifact
+    (ref Global.cpp:78-119, main.cpp:122-127)."""
+    from alga_tpu.core.seqbatch import SeqBatch
+    from alga_tpu.io import output as out_mod
+    from alga_tpu.io.fastx import build_read_batch
+
+    reads = ["".join("ACGT"[i] for i in rng.integers(0, 4, 40))
+             for _ in range(6)]
+    batch = build_read_batch(reads, trim_left=0, trim_right=0)
+    prefix = str(tmp_path / "t_algacorrect")
+    out_mod.write_corrected_fasta(batch, paired=False, prefix=prefix)
+    txt = (tmp_path / "t_algacorrect_1.fasta").read_text().splitlines()
+    # unpaired: every odd slot (fwd read) appears, revcomps skipped
+    assert txt[0] == ">1"
+    valid_fwd = [i for i in range(1, 2 * len(reads), 2)]
+    assert len(txt) == 2 * len(valid_fwd)
+    for hdr, seq in zip(txt[::2], txt[1::2]):
+        i = int(hdr[1:])
+        assert i % 2 == 1
+        if batch.valid[i]:
+            assert seq == reads[i // 2]
+        else:
+            assert seq == "N" * 100
+    # _2 exists too (reference writes both even for unpaired input)
+    assert (tmp_path / "t_algacorrect_2.fasta").exists()

@@ -88,3 +88,81 @@ def test_low_coverage_no_contigs(rng):
     # 1x coverage: consensus trims everything below coverage 4
     assert all(len(c.seq) <= 4 or c.seq == "CCCC" or len(c.seq) >= 0
                for c in res.contigs)
+
+
+# ---------------------------------------------------------------------------
+# native parallel ingest (P7) differential tests: native.fastx_parse vs the
+# Python line-loop oracle read_sequences, over all formats and edge cases
+
+import numpy as np
+import pytest
+
+from alga_tpu import native
+
+
+def _parse_both(tmp_path, name, content, fmt=None):
+    p = tmp_path / name
+    p.write_bytes(content if isinstance(content, bytes)
+                  else content.encode())
+    seqs = fastx.read_sequences(str(p), fmt)
+    buf = np.fromfile(str(p), dtype=np.uint8)
+    mat, lens = native.fastx_parse(buf, fmt or fastx.detect_format(str(p)))
+    got = ["".join(chr(c) for c in mat[i, : lens[i]]) for i in range(len(lens))]
+    return seqs, got
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+class TestNativeFastxParse:
+    def test_fastq(self, tmp_path):
+        content = ("@r1 extra\nACGTACGT\n+\nIIIIIIII\n"
+                   "@r2\nTTTTAAAA CC\n+x\nIIIIIIIIII\n")
+        seqs, got = _parse_both(tmp_path, "a.fastq", content)
+        assert got == seqs == ["ACGTACGT", "TTTTAAAA"]
+
+    def test_fasta_multiline(self, tmp_path):
+        content = ">a desc\nACGT\nACGT\n>b\nTTTT\n>empty\n>c\nGG\n"
+        seqs, got = _parse_both(tmp_path, "a.fasta", content)
+        assert got == seqs == ["ACGTACGT", "TTTT", "GG"]
+
+    def test_my_input(self, tmp_path):
+        content = "ACGTACGT\n\nTTTT x\n"
+        seqs, got = _parse_both(tmp_path, "a.txt", content)
+        assert got == seqs == ["ACGTACGT", "TTTT"]
+
+    def test_crlf_and_no_trailing_newline(self, tmp_path):
+        content = b">a\r\nACGT\r\n>b\r\nTT"
+        seqs, got = _parse_both(tmp_path, "a.fa", content)
+        assert got == seqs == ["ACGT", "TT"]
+
+    def test_large_random_parallel(self, tmp_path):
+        """Force the multithreaded path (>1 MiB) and compare to the oracle."""
+        rng = np.random.default_rng(0)
+        bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+        reads = ["".join(map(chr, bases[rng.integers(0, 4, 100)]))
+                 for _ in range(4000)]
+        content = "".join(f"@r{i} d\n{s}\n+\n{'I' * len(s)}\n"
+                          for i, s in enumerate(reads))
+        # repeat records past the 1 MiB multithreading threshold
+        content = content * ((1 << 20) // len(content) + 1)
+        p = tmp_path / "big.fastq"
+        p.write_text(content)
+        seqs = fastx.read_sequences(str(p))
+        buf = np.fromfile(str(p), dtype=np.uint8)
+        mat, lens = native.fastx_parse(buf, "fastq")
+        assert len(lens) == len(seqs)
+        got = ["".join(chr(c) for c in mat[i, : lens[i]])
+               for i in range(len(lens))]
+        assert got == seqs
+
+    def test_load_read_batch_matches_list_path(self, tmp_path):
+        rng = np.random.default_rng(1)
+        bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+        reads = ["".join(map(chr, bases[rng.integers(0, 4, 60)]))
+                 for _ in range(50)]
+        p = tmp_path / "r.fasta"
+        p.write_text("".join(f">r{i}\n{s}\n" for i, s in enumerate(reads)))
+        b1 = fastx.load_read_batch(str(p))
+        b2 = fastx.build_read_batch(reads)
+        assert np.array_equal(b1.lengths, b2.lengths)
+        assert np.array_equal(b1.valid, b2.valid)
+        assert np.array_equal(b1.packed, b2.packed)
