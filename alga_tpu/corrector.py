@@ -51,7 +51,11 @@ def _window_hashes(codes: np.ndarray, lengths: np.ndarray):
     b0 = np.zeros(n, dtype=np.int64)
     for i in range(SMALL, SMALL + BIG):
         b0 = b0 * 4 + c[:, i]
-        b0 = np.where(b0 >= MAX_HASH, b0 - MAX_HASH, b0)
+        # full reduction: 4*b0+c < 4*MAX_HASH needs up to THREE
+        # subtractions (the reference's `while (bH >= MAX) bH -= MAX`,
+        # ReadCorrector.cpp:55 — a single conditional subtraction here
+        # desynchronized every window hash past the first collision)
+        b0 %= MAX_HASH
     sH[:, 0] = s0
     bH[:, 0] = b0
 
@@ -60,9 +64,15 @@ def _window_hashes(codes: np.ndarray, lengths: np.ndarray):
         q = SMALL + BIG + j - 1  # big window now [p, p+BIG), last base q
         s0 = (s0 - _SMALL_POW * c[:, p - SMALL - 1]) * 4 + c[:, p - 1]
         b0 = b0 - _BIG_POW * c[:, q - BIG]
-        b0 = np.where(b0 < 0, b0 % MAX_HASH, b0)
+        # negative reduction replicates the reference's signed/unsigned
+        # quirk (ReadCorrector.cpp:76: `bH %= MAX_HASH_CONSIDERED` with LL
+        # bH but ULL modulus -> computes (bH + 2^64) mod M, NOT bH mod M);
+        # uint64 reinterpretation of the negative int64 gives 2^64 + b0
+        b0 = np.where(b0 < 0,
+                      (b0.astype(np.uint64) % np.uint64(MAX_HASH))
+                      .astype(np.int64), b0)
         b0 = b0 * 4 + c[:, q]
-        b0 = np.where(b0 >= MAX_HASH, b0 - MAX_HASH, b0)
+        b0 %= MAX_HASH
         sH[:, j] = s0
         bH[:, j] = b0
 
@@ -158,9 +168,9 @@ def _correct_one(row: np.ndarray, length: int, spectrum: dict) -> bool:
         sH = ((sH - _SMALL_POW * int(row[p - SMALL])) << 2) + int(row[p])
         bH = bH - _BIG_POW * int(row[q - BIG])
         if bH < 0:
-            bH %= MAX_HASH
-            if bH < 0:
-                bH += MAX_HASH
+            # (bH + 2^64) mod M — the reference's signed/unsigned quirk
+            # (ReadCorrector.cpp:280), see _window_hashes
+            bH = ((1 << 64) + bH) % MAX_HASH
         bH = (bH << 2) + int(row[q])
         while bH >= MAX_HASH:
             bH -= MAX_HASH

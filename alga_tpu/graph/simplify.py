@@ -33,6 +33,7 @@ from __future__ import annotations
 import numpy as np
 
 from alga_tpu.graph.overlap_graph import OverlapGraph
+from alga_tpu.utils.glibc_rand import GlibcRand, random_shuffle, workload_covered
 
 
 def _pair_codes(a: np.ndarray, b: np.ndarray, n: int) -> np.ndarray:
@@ -89,13 +90,28 @@ def cut_triangles(g: OverlapGraph, max_offset: int) -> tuple[OverlapGraph, int]:
 
 
 class _Adjacency:
-    """Mutable per-node adjacency for the sequential passes."""
+    """Mutable per-node adjacency for the sequential passes.
 
-    def __init__(self, g: OverlapGraph):
+    order="offset": per-node (offset, dst) ascending (ref
+    sortEdgesByIncreasingOffset, Graph.cpp:603-607).
+    order="neighbor": per-node dst ascending — the canonical layout after
+    retainOnlySmallestOffset (Graph.cpp:367-386) and after every
+    reverseGraphInPlace round trip (Graph.cpp:926-971 appends by scanning
+    source ids ascending), i.e. the layout the reference's dangling loop
+    actually iterates."""
+
+    def __init__(self, g: OverlapGraph, order: str = "offset"):
         self.n = g.n
-        gs = g.sorted_by_src_offset()
+        if order == "neighbor":
+            order_idx = np.lexsort((g.offset, g.dst, g.src))
+            src = g.src[order_idx]
+            dst = g.dst[order_idx]
+            off = g.offset[order_idx]
+        else:
+            gs = g.sorted_by_src_offset()
+            src, dst, off = gs.src, gs.dst, gs.offset
         self.out = [[] for _ in range(g.n)]
-        for s, d, o in zip(gs.src.tolist(), gs.dst.tolist(), gs.offset.tolist()):
+        for s, d, o in zip(src.tolist(), dst.tolist(), off.tolist()):
             self.out[s].append((d, o))
 
     def remove_edge(self, a: int, b: int) -> bool:
@@ -129,11 +145,15 @@ class _Adjacency:
         )
 
 
-def remove_short_parallel_paths(g: OverlapGraph, max_offset: int) -> OverlapGraph:
+def remove_short_parallel_paths(g: OverlapGraph, max_offset: int,
+                                threads: int = 6) -> OverlapGraph:
     """Directed-MST bubble popping (ref tryToRemoveShortPathsMST,
-    GraphSimplifier.cpp:431-518), seeds processed in id order."""
+    GraphSimplifier.cpp:431-518), seeds processed in id order.  Seed
+    coverage replicates the WorkloadManager quirk (blocks=50*T,
+    GraphSimplifier.cpp:375): when 50*T divides n-1 the last node is
+    never a seed."""
     adj = _Adjacency(g)
-    for beg in range(adj.n):
+    for beg in range(workload_covered(adj.n, 50 * threads)):
         if len(adj.out[beg]) < 2:
             continue
         _mst_pop(adj, beg, max_offset)
@@ -208,34 +228,53 @@ def _dangling_edges_from_seed(adj_out, seed: int, max_offset: int):
     return edges
 
 
-def remove_dangling_branches(g: OverlapGraph, max_offset: int) -> tuple[OverlapGraph, int]:
-    """Two-phase: collect removable branch edges from every fork on the
-    frozen graph, dedup, then remove (ref GraphSimplifier.cpp:577-723)."""
-    adj = _Adjacency(g)
+def remove_dangling_branches(g: OverlapGraph, max_offset: int,
+                             threads: int = 6,
+                             rng: GlibcRand | None = None) -> tuple[OverlapGraph, int]:
+    """Two-phase: collect removable branch edges from forks on the frozen
+    graph, dedup, then remove (ref GraphSimplifier.cpp:577-723).
+
+    Bug-compatible reference quirks (both rand()-replayed):
+      * seed coverage: WorkloadManager blocks=10*T (ref :641) can drop the
+        last node as a seed,
+      * the collected list is sort+unique'd then std::random_shuffle'd with
+        the never-seeded glibc rand() stream (ref :658-678), and the
+        removal WorkloadManager (blocks=3*T, ref :679) drops the LAST
+        shuffled edge whenever 3*T divides len-1, and removes NOTHING from
+        a single-edge list.
+    Adjacency iterates neighbor-ascending (the post-retain / post-reverse
+    canonical layout the reference's loop sees at t=1)."""
+    adj = _Adjacency(g, order="neighbor")
     to_remove = set()
-    for seed in range(adj.n):
+    for seed in range(workload_covered(adj.n, 10 * threads)):
         if len(adj.out[seed]) >= 2:
             for e in _dangling_edges_from_seed(adj.out, seed, max_offset):
                 to_remove.add(e)
+    lst = sorted(to_remove)
+    if rng is not None:
+        if len(lst) >= 2:
+            random_shuffle(lst, rng)
+        lst = lst[: workload_covered(len(lst), 3 * threads)]
     removed = 0
-    # sorted removal order matches the native engine's sort+unique
-    # (native/alga_host.cpp remove_dangling); swap-pop adjacency order feeds
-    # later passes, so twin ORDER parity requires identical removal order
-    for a, b in sorted(to_remove):
+    for a, b in lst:
         if adj.remove_edge(a, b):
             removed += 1
     return adj.to_graph(), removed
 
 
-def remove_dangling_upper_branches(g: OverlapGraph, max_offset: int) -> tuple[OverlapGraph, int]:
-    rg, removed = remove_dangling_branches(g.reverse(), max_offset)
+def remove_dangling_upper_branches(g: OverlapGraph, max_offset: int,
+                                   threads: int = 6,
+                                   rng: GlibcRand | None = None) -> tuple[OverlapGraph, int]:
+    rg, removed = remove_dangling_branches(g.reverse(), max_offset, threads,
+                                           rng)
     return rg.reverse(), removed
 
 
 def simplify_graph_old(g: OverlapGraph, batch,
                        max_offset_parallel_paths: int,
                        max_offset_dangling_branches: int,
-                       log=lambda *a: None) -> OverlapGraph:
+                       log=lambda *a: None,
+                       threads: int = 6) -> OverlapGraph:
     """Orchestration of the first simplification stage
     (ref GraphSimplifier::simplifyGraphOld, GraphSimplifier.cpp:85-226,
     GCPS default path).  `batch` is updated in place: isolated reads are
@@ -249,16 +288,19 @@ def simplify_graph_old(g: OverlapGraph, batch,
     avg_read_length = batch.avg_read_length()
 
     mopp_scaled = int(max_offset_parallel_paths * avg_read_length / 100.0)
-    g = remove_short_parallel_paths(g, mopp_scaled)
+    g = remove_short_parallel_paths(g, mopp_scaled, threads)
     log("short parallel paths removed")
     batch.valid &= ~g.isolated_nodes()
     g = g.retain_min_offset()
 
     modb_scaled = int(max_offset_dangling_branches * avg_read_length / 100.0)
+    # the reference's rand() stream: never seeded (= seed 1), consumed only
+    # by the dangling-removal shuffles, program-wide — fresh per assembly
+    rng = GlibcRand(1)
     iterations = 0
     while True:
-        g, r1 = remove_dangling_branches(g, modb_scaled)
-        g, r2 = remove_dangling_upper_branches(g, modb_scaled)
+        g, r1 = remove_dangling_branches(g, modb_scaled, threads, rng)
+        g, r2 = remove_dangling_upper_branches(g, modb_scaled, threads, rng)
         removed = r1 + r2
         iterations += 1
         log(f"dangling iteration {iterations}: removed {removed}")

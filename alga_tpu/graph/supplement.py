@@ -332,8 +332,13 @@ def pkb_supplement(adj_add, codes, lengths, read_lens, cfg,
     k = cfg.li_kmer_length
     intervals = cfg.li_kmer_intervals
     valid = (align_from | align_to) & (np.asarray(read_lens) >= k)
-    align_from = np.asarray(align_from, dtype=bool)
-    align_to = np.asarray(align_to, dtype=bool)
+    # masks gate kmer EXTRACTION only: the reference's pair loop runs on a
+    # clone() of the creator (GraphCreatorKmerBased.cpp:109), and PKB::clone
+    # constructs a fresh object whose alignFrom/alignTo default to ALL TRUE
+    # (GraphCreator.cpp:10-13) — so any kmer-extracted read may act as
+    # either pair side.  Verified candidate-for-candidate against an
+    # instrumented build of the reference sources.
+    all_true = np.ones(len(valid), dtype=bool)
 
     priorities = [0, 1, 2, 3]
     for _rot in range(min(4, priorities_rotations)):
@@ -344,7 +349,7 @@ def pkb_supplement(adj_add, codes, lengths, read_lens, cfg,
                 rid, ind, hi, lo, read_lens)
             pi, pj, ok = _gen_candidate_pairs(
                 rid_s, ind_s, starts, ends, read_lens, cfg,
-                align_from, align_to)
+                all_true, all_true)
             sel = np.flatnonzero(ok)
             can = np.zeros(len(pi), dtype=bool)
             if len(sel):
@@ -365,6 +370,7 @@ def pkb_supplement_ref(adj_add, codes, lengths, read_lens, cfg,
     k = cfg.li_kmer_length
     intervals = cfg.li_kmer_intervals
     valid = (align_from | align_to) & (np.asarray(read_lens) >= k)
+    all_true = np.ones(len(valid), dtype=bool)   # clone() quirk, see above
 
     priorities = [0, 1, 2, 3]
     for _rot in range(min(4, priorities_rotations)):
@@ -381,7 +387,7 @@ def pkb_supplement_ref(adj_add, codes, lengths, read_lens, cfg,
             for s, e in zip(starts, ends):
                 if e - s >= 2:
                     _pkb_group(adj_add, codes, read_lens, cfg,
-                               rid_s[s:e], ind_s[s:e], align_from, align_to)
+                               rid_s[s:e], ind_s[s:e], all_true, all_true)
         priorities = priorities[1:] + priorities[:1]   # rotate (ref LI.cpp:25)
 
 

@@ -97,11 +97,14 @@ def write_corrected_fasta(batch, paired: bool, prefix: str) -> None:
     Global::generateFasta, Global.cpp:78-119, invoked main.cpp:122-127).
 
     Writes <prefix>_1.fasta and <prefix>_2.fasta with headers '>i' (global
-    read slot id).  Revcomp rows (even ids) are skipped in both files; for
-    paired input, file-2 mates (i%4==3) are skipped from _1 and file-1
-    mates (i%4==1) from _2 (for unpaired input the reference writes the
-    same content to both files — replicated).  Invalidated reads are
-    written as 100 Ns (the reference's nullptr rows)."""
+    read slot id).  Revcomp rows (even ids) are skipped in both files, and
+    the mate-split skips (i%4==3 from _1, i%4==1 from _2) apply even for
+    single-end input: the reference's ADD_PAIRED_READS defaults to 1
+    regardless of whether a second file exists (Params.cpp:693), so its
+    dump always splits slots by id mod 4 — replicated bug-compatibly
+    (verified byte-identical vs a harness linking the reference sources).
+    Invalidated reads are written as 100 Ns (the reference's nullptr
+    rows)."""
     n_string = "N" * 100
     codes = batch.codes()
     lengths = batch.lengths
@@ -118,6 +121,6 @@ def write_corrected_fasta(batch, paired: bool, prefix: str) -> None:
             for i in range(len(batch)):
                 if i % 2 == 0:          # ADD_COMP_REV_READS is always on
                     continue
-                if paired and i % 4 == skip_mod:
+                if i % 4 == skip_mod:   # ADD_PAIRED_READS is always on
                     continue
                 f.write(f">{i}\n{seq(i)}\n")

@@ -45,7 +45,7 @@ def get_lib():
     lib.alga_simplify_graph_old.restype = ctypes.c_int64
     lib.alga_simplify_graph_old.argtypes = [
         ctypes.c_int32, ctypes.c_int64, i32p, i32p, i32p, u8p, i32p,
-        ctypes.c_int32, ctypes.c_int32, i32p, i32p, i32p]
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, i32p, i32p, i32p]
 
     lib.alga_consensus.restype = None
     lib.alga_consensus.argtypes = [
@@ -158,7 +158,7 @@ def correct_pass(codes: np.ndarray, lengths, valid, spec_b, spec_s,
         spec_b, spec_s, len(spec_b), nthreads))
 
 
-def simplify_graph_old(g, batch, mopp: int, modb: int):
+def simplify_graph_old(g, batch, mopp: int, modb: int, threads: int = 6):
     """Native twin of alga_tpu.graph.simplify.simplify_graph_old; updates
     batch.valid in place, returns the simplified OverlapGraph."""
     from alga_tpu.graph.overlap_graph import OverlapGraph
@@ -175,7 +175,8 @@ def simplify_graph_old(g, batch, mopp: int, modb: int):
     out_dst = np.empty(ne, dtype=np.int32)
     out_off = np.empty(ne, dtype=np.int32)
     m = lib.alga_simplify_graph_old(n, ne, src, dst, off, valid, lens,
-                                    mopp, modb, out_src, out_dst, out_off)
+                                    mopp, modb, threads,
+                                    out_src, out_dst, out_off)
     batch.valid &= valid.astype(bool)
     return OverlapGraph(n, out_src[:m].copy(), out_dst[:m].copy(), out_off[:m].copy())
 

@@ -135,9 +135,12 @@ class SupplementAdj:
 
 
 def run_supplement(g, batch: SeqBatch, tcfg: TunedConfig):
-    """LI/PKB supplement wiring (ref main.cpp:300-355): only dead ends
-    (alignFrom) and orphan starts (alignTo) participate; parameters are
-    re-tuned per supplement_retune."""
+    """LI/PKB supplement wiring (ref main.cpp:300-355).
+
+    Dead-end/orphan masks: indeg==0&&outdeg>0 gets alignTo,
+    indeg>0&&outdeg==0 gets alignFrom (main.cpp:310-322, forwarded to the
+    inner PKB by GraphCreatorLI.h:23-30); parameters are re-tuned per
+    supplement_retune."""
     from alga_tpu.graph import supplement as supp
 
     indeg = g.in_degrees()
@@ -259,11 +262,13 @@ def assemble(cfg: AssemblyConfig,
             if use_native:
                 g = native_mod.simplify_graph_old(
                     g, batch, tcfg.max_offset_parallel_paths,
-                    tcfg.max_offset_dangling_branches)
+                    tcfg.max_offset_dangling_branches,
+                    threads=tcfg.threads)
             else:
                 g = simplify.simplify_graph_old(
                     g, batch, tcfg.max_offset_parallel_paths,
-                    tcfg.max_offset_dangling_branches, log=_log)
+                    tcfg.max_offset_dangling_branches, log=_log,
+                    threads=tcfg.threads)
         if tcfg.serialize_graph:
             ser.write_reference_graph(g, ck_after)
     _log(f"post-simplifier degree stats: {g.degree_stats()}")

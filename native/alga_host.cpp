@@ -65,6 +65,13 @@ struct Adj {
             });
     }
 
+    // per-node neighbor-ascending order: the canonical layout after
+    // retainOnlySmallestOffset and after every reverseGraphInPlace round
+    // trip — the layout the reference's dangling loop iterates
+    void sort_by_neighbor() {
+        for (auto& la : out) std::sort(la.begin(), la.end());
+    }
+
     // ref Graph::retainOnlySmallestOffset (Graph.cpp:348-387)
     void retain_min_offset() {
         for (auto& la : out) {
@@ -202,16 +209,42 @@ void dangling_from_seed(const Adj& g, int seed, int max_offset,
     }
 }
 
-int64_t remove_dangling(Adj& g, int max_offset) {
+// WorkloadManager::parallelBlockExecution coverage quirk
+// (ref WorkloadManager.cpp:12-43): returns the processed PREFIX length of
+// [0, count) — the last item is dropped whenever the clamped block count
+// divides count-1, and a single-item range is skipped entirely.
+int64_t workload_covered(int64_t count, int64_t blocks) {
+    if (count <= 0) return 0;
+    int64_t n0 = count - 1;
+    int64_t b = blocks < 1 ? 1 : blocks;
+    if (b > n0) b = n0;
+    if (b == 0) return 0;
+    int64_t w = (n0 + b - 1) / b;
+    return std::min(b * w - 1, n0) + 1;
+}
+
+int64_t remove_dangling(Adj& g, int max_offset, int threads) {
+    // bug-compatible reference semantics (GraphSimplifier.cpp:577-723):
+    // neighbor-ascending adjacency, WorkloadManager seed coverage
+    // (blocks=10*T, ref :641), collected edges sort+unique'd then
+    // std::random_shuffle'd with the never-seeded glibc rand() stream
+    // (ref :677) and truncated by the removal WorkloadManager coverage
+    // (blocks=3*T, ref :679)
+    g.sort_by_neighbor();
     vector<pair<int,int>> to_remove;
-    for (int seed = 0; seed < g.n; seed++)
+    int64_t seeds = workload_covered(g.n, 10LL * threads);
+    for (int seed = 0; seed < seeds; seed++)
         if (g.out[seed].size() >= 2)
             dangling_from_seed(g, seed, max_offset, to_remove);
     std::sort(to_remove.begin(), to_remove.end());
     to_remove.erase(std::unique(to_remove.begin(), to_remove.end()), to_remove.end());
+    // libstdc++ std::random_shuffle (bits/stl_algo.h): rand() % (i+1)
+    for (size_t i = 1; i < to_remove.size(); i++)
+        std::swap(to_remove[i], to_remove[rand() % (i + 1)]);
+    int64_t keep = workload_covered((int64_t)to_remove.size(), 3LL * threads);
     int64_t removed = 0;
-    for (auto& e : to_remove)
-        if (g.remove_edge(e.first, e.second)) removed++;
+    for (int64_t i = 0; i < keep; i++)
+        if (g.remove_edge(to_remove[i].first, to_remove[i].second)) removed++;
     return removed;
 }
 
@@ -242,8 +275,11 @@ extern "C" {
 int64_t alga_simplify_graph_old(
     int32_t n, int64_t ne, const int32_t* src, const int32_t* dst,
     const int32_t* off, uint8_t* valid, const int32_t* read_lengths,
-    int32_t mopp, int32_t modb,
+    int32_t mopp, int32_t modb, int32_t threads,
     int32_t* out_src, int32_t* out_dst, int32_t* out_off) {
+    // the reference's rand() stream: never seeded (= seed 1), consumed
+    // only by the dangling-removal shuffles
+    srand(1);
     Adj g;
     g.init(n, ne, src, dst, off);
     g.sort_by_offset();
@@ -258,8 +294,10 @@ int64_t alga_simplify_graph_old(
     int mopp_scaled = (int)((double)(mopp * avg) / (float)100);
     g.sort_by_offset();
     {
+        // seed coverage: WorkloadManager blocks=50*T (ref :375)
         vector<char> was(n, 0);
-        for (int beg = 0; beg < n; beg++)
+        int64_t seeds = workload_covered(n, 50LL * threads);
+        for (int beg = 0; beg < seeds; beg++)
             if (g.out[beg].size() >= 2) mst_pop(g, beg, mopp_scaled, was);
     }
     mark_isolated(g, valid);
@@ -268,12 +306,10 @@ int64_t alga_simplify_graph_old(
     int modb_scaled = (int)((double)(modb * avg) / (float)100);
     int iterations = 0;
     while (true) {
-        g.sort_by_offset();
-        int64_t removed = remove_dangling(g, modb_scaled);
+        int64_t removed = remove_dangling(g, modb_scaled, threads);
         {   // upper branches on the reversed graph (ref :811-820)
             Adj r = g.reversed();
-            r.sort_by_offset();
-            removed += remove_dangling(r, modb_scaled);
+            removed += remove_dangling(r, modb_scaled, threads);
             g = r.reversed();
         }
         iterations++;
@@ -1205,8 +1241,9 @@ int64_t alga_correct_pass(
             sH = ((sH - SMALL_POW * row[p - SMALLC]) << 2) + row[p];
             bH -= BIG_POW * row[q - BIGC];
             if (bH < 0) {
-                bH %= MAXH;
-                if (bH < 0) bH += MAXH;
+                // (bH + 2^64) mod M: the reference's signed/unsigned quirk
+                // (ReadCorrector.cpp:280 — LL bH, ULL modulus)
+                bH = (int64_t)((uint64_t)bH % (uint64_t)MAXH);
             }
             bH = (bH << 2) + row[q];
             while (bH >= MAXH) bH -= MAXH;

@@ -102,13 +102,14 @@ def test_corrected_fasta_dump(tmp_path, rng):
     prefix = str(tmp_path / "t_algacorrect")
     out_mod.write_corrected_fasta(batch, paired=False, prefix=prefix)
     txt = (tmp_path / "t_algacorrect_1.fasta").read_text().splitlines()
-    # unpaired: every odd slot (fwd read) appears, revcomps skipped
+    # slots == 1 mod 4 land in _1 (the reference's always-on mate split,
+    # Params.cpp:693), revcomps (even slots) skipped
     assert txt[0] == ">1"
-    valid_fwd = [i for i in range(1, 2 * len(reads), 2)]
-    assert len(txt) == 2 * len(valid_fwd)
+    want_ids = [i for i in range(2 * len(reads)) if i % 4 == 1]
+    assert len(txt) == 2 * len(want_ids)
     for hdr, seq in zip(txt[::2], txt[1::2]):
         i = int(hdr[1:])
-        assert i % 2 == 1
+        assert i % 4 == 1
         if batch.valid[i]:
             assert seq == reads[i // 2]
         else:
