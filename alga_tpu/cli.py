@@ -44,11 +44,21 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write graph checkpoints (reference-compatible binary)")
     p.add_argument("--deserialize_graph", type=int, default=0,
                    help="resume from graph checkpoints when present")
+    p.add_argument("--redirect_cerr", type=int, default=0,
+                   help="redirect stderr logs to <output>.log "
+                        "(ref Params.cpp:578-594)")
+    p.add_argument("--profile_dir", default="",
+                   help="write a jax.profiler trace of the assembly to this "
+                        "directory")
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.redirect_cerr:
+        import sys
+        logpath = args.output.rsplit(".", 1)[0] + ".log"
+        sys.stderr = open(logpath, "w")
     cfg = AssemblyConfig(
         file1=args.file1,
         file2=args.file2,
@@ -66,7 +76,15 @@ def main(argv=None) -> int:
         serialize_graph=bool(args.serialize),
         deserialize_graph=bool(args.deserialize_graph),
     )
-    assemble_to_file(cfg)
+    if args.profile_dir:
+        import jax
+        jax.profiler.start_trace(args.profile_dir)
+        try:
+            assemble_to_file(cfg)
+        finally:
+            jax.profiler.stop_trace()
+    else:
+        assemble_to_file(cfg)
     return 0
 
 

@@ -356,6 +356,11 @@ def gcps_graph_device(packed_np, lengths_np, n: int, ell_min: int, cap: int,
     (psrc, pdst, pell, pair_valid, rs, re_, r_start, cnt,
      exp_total) = _post_join_stage(Bm, Cv, Ev, lengths_d, int(rsoe),
                                    int(soes))
+    # hot-loop counters (ref GCPS.h:111-118 GATHER_STATISTICS atomics)
+    from alga_tpu.utils.timers import bump
+    bump("gcps_candidates", total)
+    bump("gcps_matches", int(nok))
+    bump("gcps_domination_checks", int(exp_total))
     C3 = _round_cap(int(exp_total))
     max_off = max(1, min(max_len, cap) - int(rsoe))
     W3 = packing.words_for(min(max_off, min(max_len, cap)))

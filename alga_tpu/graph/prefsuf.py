@@ -142,8 +142,11 @@ def find_exact_overlaps(packed, lengths, ell_min: int, cap: int,
     if not out_src:
         z = np.zeros(0, dtype=np.int64)
         return OverlapMatches(z, z.copy(), z.copy())
-    return OverlapMatches(
+    m = OverlapMatches(
         np.concatenate(out_src), np.concatenate(out_dst), np.concatenate(out_ell))
+    from alga_tpu.utils.timers import bump
+    bump("gcps_matches", len(m.src))   # ref GCPS.h:111-118 counters
+    return m
 
 
 def _regime1_ring_survivors(m: OverlapMatches, rsoe: int, soes: int):

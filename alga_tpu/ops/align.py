@@ -257,7 +257,9 @@ def ach_batch_auto(packed, codes, lengths, r1, r2, offsets, cfg,
     """bool[M]: ACH over pairs with backend dispatch — numpy twin for small
     batches, the XLA/Pallas device kernels (padded to a power-of-two batch
     so compiled executables are reused) for large ones."""
+    from alga_tpu.utils.timers import bump
     m = len(r1)
+    bump("ach_total_alignments", m)     # ref ACHybrid.h:31-36 counters
     if m == 0:
         return np.zeros(0, dtype=bool)
     if m < min_device_batch or packed is None:
@@ -289,6 +291,7 @@ def ach_batch_auto(packed, codes, lengths, r1, r2, offsets, cfg,
     guards = (offsets >= cfg.min_offset_for_alignment) & \
              (len2 + offsets - len1 >= 0)
     ok = acler & guards
+    bump("ach_low_error_approved", int(ok.sum()))
     if cfg.use_acler_instead_of_aclcs:
         return ok
 
@@ -297,6 +300,7 @@ def ach_batch_auto(packed, codes, lengths, r1, r2, offsets, cfg,
         (overlap >= cfg.min_overlap_area)
     need = full_guard & ~ok
     if need.any():
+        bump("ach_lcs_alignments", int(need.sum()))
         if codes is None:
             from alga_tpu.core import packing
             codes = packing.packed_to_codes(packed)

@@ -20,7 +20,9 @@ from alga_tpu.core.seqbatch import SeqBatch
 from alga_tpu.graph import prefsuf, simplify
 from alga_tpu.graph.contract import ContractedGraph, simplify_contract
 from alga_tpu.io import fastx, output
-from alga_tpu.utils.timers import PhaseTimer, contig_stats, emit_metrics
+from alga_tpu.utils.timers import (PhaseTimer, STREAMING, contig_stats,
+                                    counters_report, emit_metrics,
+                                    memory_peaks, reset_counters)
 
 
 def _log(*a):
@@ -163,6 +165,7 @@ def assemble(cfg: AssemblyConfig,
              file2_seqs: list[str] | None = None) -> AssemblyResult:
     timers = PhaseTimer()
     timers.start("total")
+    reset_counters()
 
     # --- input ------------------------------------------------------------
     with timers.phase("input_reader"):
@@ -183,6 +186,13 @@ def assemble(cfg: AssemblyConfig,
             paired_input = bool(file2_seqs)
             batch = fastx.build_read_batch(file1_seqs, file2_seqs, **pre_kw)
     _log(f"{batch.count_valid()} valid reads of {len(batch)} slots")
+    # ingest statistics (ref InputReader.cpp:92-136 read-length/N stats)
+    _lens = np.asarray(batch.lengths)[batch.valid]
+    if len(_lens):
+        STREAMING.add_array("read_length", _lens)
+        _log(f"read lengths: min={int(_lens.min())} "
+             f"avg={float(_lens.mean()):.2f} max={int(_lens.max())}; "
+             f"{int((~batch.valid).sum())} slots dropped (N/STR filters)")
 
     # --- autotune (ref main.cpp:93-115) ------------------------------------
     avg_post_trim = batch.avg_read_length()
@@ -318,6 +328,10 @@ def assemble(cfg: AssemblyConfig,
     timers.stop("total")
     stats = contig_stats([len(c) for c in contigs])
     stats["phase_seconds"] = timers.report()
+    stats["memory_peaks_mb"] = memory_peaks()
+    stats["counters"] = counters_report()
+    STREAMING.add_array("contig_length", [len(c) for c in contigs])
+    stats["streaming"] = STREAMING.report()
     emit_metrics(stats)
     return AssemblyResult(contigs, tcfg, timers, stats)
 

@@ -109,3 +109,106 @@ def test_pipeline_checkpoint_resume(rng, tmp_path):
                           output=str(tmp_path / "b.fasta"))
     r2 = assemble(cfg2, file1_seqs=reads)
     assert [c.seq for c in r1.contigs] == [c.seq for c in r2.contigs]
+
+
+# ---------------------------------------------------------------------------
+# observability (VERDICT round-1 item 9) + FAU component view (item 10)
+
+def test_memory_sampling_and_peaks():
+    from alga_tpu.utils.timers import memory_peaks, sample_memory
+    s = sample_memory("test", log=False)
+    assert s["rss_mb"] > 0
+    peaks = memory_peaks()
+    assert peaks["rss_mb"] >= s["rss_mb"] - 1
+
+
+def test_counters():
+    from alga_tpu.utils.timers import bump, counters_report, reset_counters
+    reset_counters()
+    bump("x", 3)
+    bump("x")
+    assert counters_report() == {"x": 4}
+    reset_counters()
+
+
+def test_streaming_stats():
+    from alga_tpu.utils.timers import StreamingStats
+    ss = StreamingStats()
+    ss.add_array("v", [1.0, 2.0, 3.0, 4.0])
+    ss.add("v", 5.0)
+    r = ss.report()["v"]
+    assert r["n"] == 5 and r["mean"] == 3.0
+    assert r["min"] == 1.0 and r["max"] == 5.0
+    assert abs(r["stddev"] - 2 ** 0.5) < 1e-3
+
+
+def test_glibc_rand_matches_libc():
+    """The pure-python glibc rand replica (used to replay the reference's
+    dangling-removal shuffles) must match the in-process libc exactly."""
+    import ctypes
+
+    from alga_tpu.utils.glibc_rand import GlibcRand
+    libc = ctypes.CDLL(None)
+    libc.srand(1)
+    g = GlibcRand(1)
+    assert [libc.rand() for _ in range(1000)] == [g.rand() for _ in range(1000)]
+
+
+def test_workload_covered_quirks():
+    from alga_tpu.utils.glibc_rand import workload_covered
+    assert workload_covered(1, 3) == 0          # single item skipped
+    assert workload_covered(2, 3) == 1          # last dropped (clamp)
+    assert workload_covered(4, 3) == 3          # blocks | N0 -> drop last
+    assert workload_covered(7, 3) == 6          # 3 | 6 -> drop last
+    assert workload_covered(5, 3) == 5          # full coverage
+    assert workload_covered(1000, 30) == 1000
+
+
+def test_fau_component_view(tmp_path):
+    from alga_tpu.graph.overlap_graph import OverlapGraph
+    from alga_tpu.utils.visualize import FAU, write_component_view
+
+    fau = FAU(6)
+    fau.union(0, 1)
+    fau.union(1, 2)
+    fau.union(3, 4)
+    assert fau.find(0) == fau.find(2)
+    assert fau.find(3) != fau.find(0)
+
+    # two components: a contig path 0->1->2 and an unrelated pair 3->4
+    g = OverlapGraph.from_edges(6, [(0, 1, 10), (1, 2, 10), (3, 4, 5)])
+
+    class Ctg:
+        reads = [(0, 0), (1, 10), (2, 10)]
+
+    out = tmp_path / "comp.gv"
+    write_component_view(g, [Ctg()], str(out))
+    txt = out.read_text()
+    assert "0 -> 1" in txt and "1 -> 2" in txt
+    assert "3 -> 4" not in txt       # unrelated component not selected
+    assert "color=" in txt
+
+
+def test_redirect_cerr(tmp_path):
+    """--redirect_cerr sends the run log to <output>.log
+    (ref Params.cpp:578-594)."""
+    import subprocess
+    import sys as _sys
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    genome = "".join("ACGT"[i] for i in rng.integers(0, 4, 2000))
+    reads = [genome[i: i + 80] for i in range(0, 1900, 10)]
+    fa = tmp_path / "r.fasta"
+    fa.write_text("".join(f">r{i}\n{s}\n" for i, s in enumerate(reads)))
+    out = tmp_path / "c.fasta"
+    r = subprocess.run(
+        [_sys.executable, "-m", "alga_tpu.cli", "--file1", str(fa),
+         "--output", str(out), "--redirect_cerr", "1"],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 0, r.stderr
+    log = tmp_path / "c.log"
+    assert log.exists() and "[timer]" in log.read_text()
+    assert "[timer]" not in r.stderr
