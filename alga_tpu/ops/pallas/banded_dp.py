@@ -28,7 +28,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-LANES = 128
+# pairs per grid step: 1024 = 8 sublanes x 128 lanes — a [1, TILE] vector
+# op fills a whole (8, 128) vreg, 8x the VPU utilization of a 128-lane tile
+TILE = 1024
 
 
 def _dp_kernel(c1_ref, c2a_ref, offs_ref, len1_ref, len2_ref, pstar_ref,
@@ -36,54 +38,77 @@ def _dp_kernel(c1_ref, c2a_ref, offs_ref, len1_ref, len2_ref, pstar_ref,
     B = 2 * E + 1
     tile = c1_ref.shape[2]          # lanes
 
-    # all values kept 2-D [1, tile] (Mosaic wants >= 2-D vectors)
-    offs = offs_ref[0, :, :]
-    len1 = len1_ref[0, :, :]
-    len2 = len2_ref[0, :, :]
-    p_star = pstar_ref[0, :, :]
-    d_star = dstar_ref[0, :, :]
-    p_beg = jnp.maximum(0, offs - E)
+    # NOTE on style: inside a Pallas fori_loop trace on this jax version,
+    # ANY implicit weak-type promotion (a python literal or the scalar loop
+    # index meeting an array) sends convert_element_type into unbounded
+    # recursion — so every constant below is a materialized [1, tile]
+    # int32 array, the row index is a loop-carried vector counter, and the
+    # scalar index is used ONLY inside pl.ds.
+    zero1 = jnp.zeros((1, tile), jnp.int32)
+    one1 = jnp.ones((1, tile), jnp.int32)
+    e1 = jnp.full((1, tile), E, jnp.int32)
 
     def row(p, carry):
-        prev, result = carry        # prev: tuple of B x [1, tile]
-        a = c1_ref[0, pl.ds(p, 1), :]                 # [1, tile]
-        in_row = (p >= p_beg) & (p <= p_star) & (p < len1)
+        prev, result, pv = carry    # prev: [B, tile]; pv: vector row index
+        offs = offs_ref[0]
+        len1 = len1_ref[0]
+        len2 = len2_ref[0]
+        p_star = pstar_ref[0]
+        d_star = dstar_ref[0]
+        p_beg = jnp.maximum(zero1, offs - e1)
+        a = c1_ref[0, pl.ds(p, 1), :]                          # [1, tile]
+        bslab = c2a_ref[0, pl.ds(p, B), :]                     # [B, tile]
+        in_row = (pv >= p_beg) & (pv <= p_star) & (pv < len1)
 
         new_rows = []
-        left = jnp.zeros((1, tile), jnp.int32)
+        left = zero1
         for d in range(B):
-            q = p - offs + (d - E)
-            q_ok = (q >= 0) & (q < len2) & in_row
-            b = c2a_ref[0, pl.ds(p + d, 1), :]        # [1, tile]
+            dmE = jnp.full((1, tile), d - E, jnp.int32)
+            q = pv - offs + dmE
+            q_ok = (q >= zero1) & (q < len2) & in_row
+            b = bslab[d: d + 1]                                # [1, tile]
             match = (a == b) & q_ok
-            diag = prev[d]
-            up = prev[d + 1] if d + 1 < B else jnp.zeros((1, tile), jnp.int32)
-            val = jnp.where(match, diag + 1, jnp.maximum(up, left))
-            val = jnp.where(q_ok, val, 0)
+            diag = prev[d: d + 1]
+            up = prev[d + 1: d + 2] if d + 1 < B else zero1
+            val = jnp.where(match, diag + one1, jnp.maximum(up, left))
+            val = jnp.where(q_ok, val, zero1)
             left = val
             new_rows.append(val)
-        cur = tuple(jnp.where(in_row, new_rows[d], prev[d]) for d in range(B))
+        new = jnp.concatenate(new_rows, axis=0)                # [B, tile]
+        cur = jnp.where(in_row, new, prev)
 
         # harvest result at (p*, d*)
-        at_star = (p == p_star)
-        picked = jnp.zeros((1, tile), jnp.int32)
+        at_star = (pv == p_star)
+        picked = zero1
         for d in range(B):
-            picked = jnp.where(d_star == d, cur[d], picked)
+            dv = jnp.full((1, tile), d, jnp.int32)
+            picked = jnp.where(d_star == dv, cur[d: d + 1], picked)
         result = jnp.where(at_star, picked, result)
-        return cur, result
+        return cur, result, pv + one1
 
-    prev0 = tuple(jnp.zeros((1, tile), jnp.int32) for _ in range(B))
-    res0 = jnp.zeros((1, tile), jnp.int32)
-    _, result = jax.lax.fori_loop(0, max_len, row, (prev0, res0))
+    prev0 = jnp.zeros((B, tile), jnp.int32)
+    _, result, _ = jax.lax.fori_loop(0, max_len, row,
+                                     (prev0, zero1, zero1))
     out_ref[0, :, :] = result
 
 
-@partial(jax.jit, static_argnums=(5, 6, 7))
 def banded_lcs_pallas(codes, lengths, r1, r2, offsets, max_len: int, E: int = 2,
                       interpret: bool | None = None):
     """int32[M]: same contract as ops.align.banded_lcs_batch, executed as a
     Pallas kernel.  M is padded to a multiple of 128 internally.  On a CPU
-    backend the Pallas interpreter is used automatically."""
+    backend the Pallas interpreter is used automatically.
+
+    Runs under disable_x64: the package enables jax x64 globally, which
+    makes pallas grid index-map constants i64 — Mosaic then fails to
+    legalize its trivial scalar returns.  Everything here is int32."""
+    with jax.enable_x64(False):
+        return _banded_lcs_pallas_x32(
+            codes, lengths, r1, r2, offsets, max_len, E, interpret)
+
+
+@partial(jax.jit, static_argnums=(5, 6, 7))
+def _banded_lcs_pallas_x32(codes, lengths, r1, r2, offsets, max_len: int,
+                           E: int = 2, interpret: bool | None = None):
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
@@ -95,7 +120,7 @@ def banded_lcs_pallas(codes, lengths, r1, r2, offsets, max_len: int, E: int = 2,
 
     m = r1.shape[0]
     B = 2 * E + 1
-    mp = -(-m // LANES) * LANES
+    mp = -(-m // TILE) * TILE
     pad = mp - m
     if pad:
         r1 = jnp.pad(r1, (0, pad))
@@ -109,39 +134,47 @@ def banded_lcs_pallas(codes, lengths, r1, r2, offsets, max_len: int, E: int = 2,
     d_star = jnp.clip(q_star - (p_star - offsets) + E, 0, B - 1)
 
     c1 = codes[r1]                                   # [mp, L]
-    # pre-align read2: c2a[m, t] = c2[m, t - offset_m - (-E)] shifted so the
-    # kernel reads diagonal d of row p at column p + d
-    cols = jnp.arange(max_len + B - 1)[None, :]
-    src = cols - offsets[:, None] - E
-    src_ok = (src >= 0) & (src < max_len)
-    c2a = jnp.where(
-        src_ok,
-        jnp.take_along_axis(codes[r2], jnp.clip(src, 0, max_len - 1), axis=1),
-        -1,
-    )
+    # pre-align read2: c2a[m, t] = c2[m, t - offset_m - E] so the kernel
+    # reads diagonal d of row p at column p + d.  The per-row variable
+    # shift is a BARREL SHIFTER — ceil(log2(maxshift)) uniform rolls +
+    # masked selects — because a per-element take_along_axis gather is
+    # catastrophically slow on TPU (measured 614 ms vs 4 ms for the whole
+    # row gather at M=256k; the rolls cost ~2 HBM passes per bit)
+    w2 = max_len + B - 1
+    shift = offsets + E                              # [mp], >= 0
+    x = jnp.pad(codes[r2], ((0, 0), (0, w2 - max_len)))
+    nbits = max(1, int(w2 - 1).bit_length())
+    for k in range(nbits):
+        rolled = jnp.roll(x, 1 << k, axis=1)
+        bit = ((shift >> k) & 1)[:, None].astype(bool)
+        x = jnp.where(bit, rolled, x)
+    cols = jnp.arange(w2)[None, :]
+    src = cols - shift[:, None]
+    src_ok = (src >= 0) & (src < max_len)            # mask roll wraparound
+    c2a = jnp.where(src_ok, x, -1)
 
-    # tile layout: rows = sequence position (sublanes), lanes = pairs
-    c1_t = c1.T.reshape(max_len, mp // LANES, LANES).transpose(1, 0, 2)
-    c2a_t = c2a.T.reshape(max_len + B - 1, mp // LANES, LANES).transpose(1, 0, 2)
+    # tile layout: rows = sequence position, trailing dim = pairs
+    c1_t = c1.T.reshape(max_len, mp // TILE, TILE).transpose(1, 0, 2)
+    c2a_t = c2a.T.reshape(max_len + B - 1, mp // TILE, TILE).transpose(1, 0, 2)
 
     def scalars(x):
-        return x.reshape(mp // LANES, 1, LANES)
+        return x.reshape(mp // TILE, 1, TILE)
 
-    grid = (mp // LANES,)
+    grid = (mp // TILE,)
     out = pl.pallas_call(
         partial(_dp_kernel, max_len=max_len, E=E),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, max_len, LANES), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, max_len + B - 1, LANES), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, max_len, TILE), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, max_len + B - 1, TILE), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, TILE), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, TILE), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, TILE), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, TILE), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, TILE), lambda i: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((mp // LANES, 1, LANES), jnp.int32),
+        out_specs=pl.BlockSpec((1, 1, TILE), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((mp // TILE, 1, TILE), jnp.int32),
         interpret=interpret,
     )(
         c1_t, c2a_t, scalars(offsets), scalars(len1), scalars(len2),
