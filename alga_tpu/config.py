@@ -78,6 +78,13 @@ class AssemblyConfig:
     use_native: bool = True    # use the C++ host graph engine when built
                                # (native/alga_host.cpp; Python twin otherwise)
 
+    # --- multi-device execution (no reference counterpart: the reference is
+    #     single-process shared-memory; SURVEY.md §2.10) ---
+    sharded_gcps: str = "auto"  # "auto" = de-replicated all_to_all GCPS
+                                # (parallel/sharded_gcps.py) when >1 device
+                                # is visible; "on" forces it (1-device mesh
+                                # works too); "off" forces single-device
+
     # --- sweep mechanics ---
     read_length_cap: int = 500     # overlap sweep cap (ref: GCPS.cpp:92)
     sweep_chunk_rounds: int = 16   # overlap lengths processed per device dispatch

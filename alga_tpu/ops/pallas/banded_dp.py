@@ -4,14 +4,24 @@ The alignment hot loop of the error path (ref:
 src/AlignmentControllers/AlignmentControllerLCS.cpp:61-150 — row-by-row
 banded LCS with half-width E), re-designed for the VPU:
 
-  * pairs are laid out across the 128 lanes of a tile; the 2E+1 band
-    diagonals live in sublanes — every DP row update is a handful of
-    [1, 128] vector ops;
+  * pairs are laid out across the trailing TILE lanes of a block — every
+    DP row update is a handful of [1, TILE] vector ops;
   * read2 is PRE-ALIGNED by its per-pair offset on the XLA side
     (c2_aligned[m, t] = c2[m, t - offset_m - E]) which makes the band's
-    column accesses uniform static slices: row p, diagonal d reads
+    column accesses uniform row reads: row p, diagonal d reads
     c2_aligned[:, p + d] — no per-lane gathers inside the kernel;
-  * per-pair result extraction (row p*, diagonal d*) happens in-loop with
+  * the DP row index rides the GRID (R rows per grid step), so every
+    in-kernel memory access uses static offsets — Mosaic rejects
+    dynamic-start sublane slices (`pl.ds(p, B)` with traced p needs a
+    provable multiple-of-8 start), so the row loop cannot be a fori_loop
+    over dynamic row slices.  The [B, TILE] DP carry and the harvested
+    result live in VMEM scratch, which persists across the sequential
+    grid steps of one pair-block;
+  * rows p*R+r need aligned-read2 rows p*R+r+d (d < B <= R+1), all of
+    which sit inside the [2R, TILE] window formed by TWO adjacent R-row
+    blocks of c2_aligned — streamed per grid step via two BlockSpecs on
+    the same array, offset by one block;
+  * per-pair result extraction (row p*, diagonal d*) happens in-row with
     masked selects, so the kernel streams rows once and emits one int32
     per pair.
 
@@ -27,46 +37,54 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 # pairs per grid step: 1024 = 8 sublanes x 128 lanes — a [1, TILE] vector
 # op fills a whole (8, 128) vreg, 8x the VPU utilization of a 128-lane tile
 TILE = 1024
+# DP rows per grid step; must satisfy R >= B - 1 so the two adjacent
+# R-row blocks of c2_aligned cover rows r..r+B-1 for every r < R
+ROWS_PER_STEP = 8
 
 
-def _dp_kernel(c1_ref, c2a_ref, offs_ref, len1_ref, len2_ref, pstar_ref,
-               dstar_ref, out_ref, *, max_len: int, E: int):
+def _dp_kernel(c1_ref, c2lo_ref, c2hi_ref, offs_ref, len1_ref, len2_ref,
+               pstar_ref, dstar_ref, out_ref, prev_ref, res_ref,
+               *, E: int, R: int):
     B = 2 * E + 1
-    tile = c1_ref.shape[2]          # lanes
+    tile = c1_ref.shape[2]
+    p = pl.program_id(1)
 
-    # NOTE on style: inside a Pallas fori_loop trace on this jax version,
-    # ANY implicit weak-type promotion (a python literal or the scalar loop
-    # index meeting an array) sends convert_element_type into unbounded
-    # recursion — so every constant below is a materialized [1, tile]
-    # int32 array, the row index is a loop-carried vector counter, and the
-    # scalar index is used ONLY inside pl.ds.
+    @pl.when(p == 0)
+    def _init():
+        prev_ref[...] = jnp.zeros((B, tile), jnp.int32)
+        res_ref[...] = jnp.zeros((1, tile), jnp.int32)
+
     zero1 = jnp.zeros((1, tile), jnp.int32)
     one1 = jnp.ones((1, tile), jnp.int32)
-    e1 = jnp.full((1, tile), E, jnp.int32)
+    offs = offs_ref[0]
+    len1 = len1_ref[0]
+    len2 = len2_ref[0]
+    p_star = pstar_ref[0]
+    d_star = dstar_ref[0]
+    p_beg = jnp.maximum(zero1, offs - jnp.full((1, tile), E, jnp.int32))
+    base = (p * R).astype(jnp.int32)
 
-    def row(p, carry):
-        prev, result, pv = carry    # prev: [B, tile]; pv: vector row index
-        offs = offs_ref[0]
-        len1 = len1_ref[0]
-        len2 = len2_ref[0]
-        p_star = pstar_ref[0]
-        d_star = dstar_ref[0]
-        p_beg = jnp.maximum(zero1, offs - e1)
-        a = c1_ref[0, pl.ds(p, 1), :]                          # [1, tile]
-        bslab = c2a_ref[0, pl.ds(p, B), :]                     # [B, tile]
+    prev = prev_ref[...]
+    result = res_ref[...]
+    for r in range(R):
+        pv = jnp.broadcast_to(base, (1, tile)) + jnp.full(
+            (1, tile), r, jnp.int32)
+        a = c1_ref[0, r: r + 1, :]                         # [1, tile]
         in_row = (pv >= p_beg) & (pv <= p_star) & (pv < len1)
 
-        new_rows = []
         left = zero1
+        new_rows = []
         for d in range(B):
-            dmE = jnp.full((1, tile), d - E, jnp.int32)
-            q = pv - offs + dmE
+            idx = r + d                                    # static
+            b = (c2lo_ref[0, idx: idx + 1, :] if idx < R
+                 else c2hi_ref[0, idx - R: idx - R + 1, :])
+            q = pv - offs + jnp.full((1, tile), d - E, jnp.int32)
             q_ok = (q >= zero1) & (q < len2) & in_row
-            b = bslab[d: d + 1]                                # [1, tile]
             match = (a == b) & q_ok
             diag = prev[d: d + 1]
             up = prev[d + 1: d + 2] if d + 1 < B else zero1
@@ -74,28 +92,25 @@ def _dp_kernel(c1_ref, c2a_ref, offs_ref, len1_ref, len2_ref, pstar_ref,
             val = jnp.where(q_ok, val, zero1)
             left = val
             new_rows.append(val)
-        new = jnp.concatenate(new_rows, axis=0)                # [B, tile]
-        cur = jnp.where(in_row, new, prev)
+        new = jnp.concatenate(new_rows, axis=0)            # [B, tile]
+        prev = jnp.where(in_row, new, prev)
 
         # harvest result at (p*, d*)
-        at_star = (pv == p_star)
         picked = zero1
         for d in range(B):
             dv = jnp.full((1, tile), d, jnp.int32)
-            picked = jnp.where(d_star == dv, cur[d: d + 1], picked)
-        result = jnp.where(at_star, picked, result)
-        return cur, result, pv + one1
+            picked = jnp.where(d_star == dv, prev[d: d + 1], picked)
+        result = jnp.where(pv == p_star, picked, result)
 
-    prev0 = jnp.zeros((B, tile), jnp.int32)
-    _, result, _ = jax.lax.fori_loop(0, max_len, row,
-                                     (prev0, zero1, zero1))
+    prev_ref[...] = prev
+    res_ref[...] = result
     out_ref[0, :, :] = result
 
 
 def banded_lcs_pallas(codes, lengths, r1, r2, offsets, max_len: int, E: int = 2,
                       interpret: bool | None = None):
     """int32[M]: same contract as ops.align.banded_lcs_batch, executed as a
-    Pallas kernel.  M is padded to a multiple of 128 internally.  On a CPU
+    Pallas kernel.  M is padded to a multiple of 1024 internally.  On a CPU
     backend the Pallas interpreter is used automatically.
 
     Runs under disable_x64: the package enables jax x64 globally, which
@@ -120,6 +135,8 @@ def _banded_lcs_pallas_x32(codes, lengths, r1, r2, offsets, max_len: int,
 
     m = r1.shape[0]
     B = 2 * E + 1
+    R = ROWS_PER_STEP
+    assert R >= B - 1
     mp = -(-m // TILE) * TILE
     pad = mp - m
     if pad:
@@ -133,14 +150,19 @@ def _banded_lcs_pallas_x32(codes, lengths, r1, r2, offsets, max_len: int,
     q_star = jnp.minimum(len2 - 1, p_star - offsets + E)
     d_star = jnp.clip(q_star - (p_star - offsets) + E, 0, B - 1)
 
+    n_chunks = -(-max_len // R)
+    rows1 = n_chunks * R                 # c1 rows, grid-covered
+    rows2 = (n_chunks + 1) * R           # c2_aligned rows (one spare block)
+
     c1 = codes[r1]                                   # [mp, L]
+    c1 = jnp.pad(c1, ((0, 0), (0, rows1 - max_len)))
     # pre-align read2: c2a[m, t] = c2[m, t - offset_m - E] so the kernel
     # reads diagonal d of row p at column p + d.  The per-row variable
     # shift is a BARREL SHIFTER — ceil(log2(maxshift)) uniform rolls +
     # masked selects — because a per-element take_along_axis gather is
     # catastrophically slow on TPU (measured 614 ms vs 4 ms for the whole
     # row gather at M=256k; the rolls cost ~2 HBM passes per bit)
-    w2 = max_len + B - 1
+    w2 = rows2
     shift = offsets + E                              # [mp], >= 0
     x = jnp.pad(codes[r2], ((0, 0), (0, w2 - max_len)))
     nbits = max(1, int(w2 - 1).bit_length())
@@ -154,30 +176,30 @@ def _banded_lcs_pallas_x32(codes, lengths, r1, r2, offsets, max_len: int,
     c2a = jnp.where(src_ok, x, -1)
 
     # tile layout: rows = sequence position, trailing dim = pairs
-    c1_t = c1.T.reshape(max_len, mp // TILE, TILE).transpose(1, 0, 2)
-    c2a_t = c2a.T.reshape(max_len + B - 1, mp // TILE, TILE).transpose(1, 0, 2)
+    c1_t = c1.T.reshape(rows1, mp // TILE, TILE).transpose(1, 0, 2)
+    c2a_t = c2a.T.reshape(rows2, mp // TILE, TILE).transpose(1, 0, 2)
 
     def scalars(x):
         return x.reshape(mp // TILE, 1, TILE)
 
-    grid = (mp // TILE,)
+    scalar_spec = pl.BlockSpec((1, 1, TILE), lambda i, p: (i, 0, 0))
+    grid = (mp // TILE, n_chunks)
     out = pl.pallas_call(
-        partial(_dp_kernel, max_len=max_len, E=E),
+        partial(_dp_kernel, E=E, R=R),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, max_len, TILE), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, max_len + B - 1, TILE), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 1, TILE), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 1, TILE), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 1, TILE), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 1, TILE), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 1, TILE), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, R, TILE), lambda i, p: (i, p, 0)),
+            pl.BlockSpec((1, R, TILE), lambda i, p: (i, p, 0)),
+            pl.BlockSpec((1, R, TILE), lambda i, p: (i, p + 1, 0)),
+            scalar_spec, scalar_spec, scalar_spec, scalar_spec, scalar_spec,
         ],
-        out_specs=pl.BlockSpec((1, 1, TILE), lambda i: (i, 0, 0)),
+        out_specs=pl.BlockSpec((1, 1, TILE), lambda i, p: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((mp // TILE, 1, TILE), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((B, TILE), jnp.int32),
+                        pltpu.VMEM((1, TILE), jnp.int32)],
         interpret=interpret,
     )(
-        c1_t, c2a_t, scalars(offsets), scalars(len1), scalars(len2),
+        c1_t, c2a_t, c2a_t, scalars(offsets), scalars(len1), scalars(len2),
         scalars(p_star), scalars(d_star),
     )
     return out.transpose(0, 2, 1).reshape(mp)[:m]

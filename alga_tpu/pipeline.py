@@ -64,6 +64,25 @@ def remap_paired_offsets(batch: SeqBatch, paired: bool) -> SeqBatch:
     return nb
 
 
+def _gcps_mesh(cfg: TunedConfig):
+    """Mesh for the de-replicated sharded GCPS, or None for single-device.
+
+    "auto" shards whenever more than one device is visible (a real pod
+    slice, or the virtual CPU mesh in tests); "on" forces a mesh even over
+    one device; "off" always takes the single-device path."""
+    if cfg.sharded_gcps == "off":
+        return None
+    import jax
+    nd = jax.device_count()
+    # "auto" requires real accelerator devices: the virtual CPU mesh is a
+    # correctness vehicle (one host core shared by all "devices"), so tests
+    # opt in explicitly with sharded_gcps="on"
+    if (nd > 1 and jax.default_backend() != "cpu") or cfg.sharded_gcps == "on":
+        from alga_tpu.parallel import mesh as mesh_mod
+        return mesh_mod.make_mesh(nd)
+    return None
+
+
 def build_graph_phase(batch: SeqBatch, cfg: TunedConfig, timers: PhaseTimer):
     """GCPS graph construction incl. the short-read removal of
     ref main.cpp:253-266."""
@@ -73,16 +92,30 @@ def build_graph_phase(batch: SeqBatch, cfg: TunedConfig, timers: PhaseTimer):
     if too_short.any():
         _log(f"removed {int(too_short.sum())} reads shorter than {min_len}")
 
+    mesh = _gcps_mesh(cfg)
     with timers.phase("graph_creator_prefsuf"):
-        g = prefsuf.build_gcps_graph(
-            batch.packed, batch.lengths, len(batch),
-            ell_min=cfg.min_overlap_pref_suf,
-            cap=cfg.read_length_cap,
-            rsoe=cfg.rsoe_min_overlap,
-            soes=cfg.soes,
-            align_from=batch.valid,
-            align_to=batch.valid,
-        )
+        if mesh is not None:
+            from alga_tpu.parallel.sharded_gcps import gcps_graph_sharded
+            _log(f"sharded GCPS over {mesh.devices.size} devices")
+            g = gcps_graph_sharded(
+                mesh, batch.packed, batch.lengths, len(batch),
+                ell_min=cfg.min_overlap_pref_suf,
+                cap=cfg.read_length_cap,
+                rsoe=cfg.rsoe_min_overlap,
+                soes=cfg.soes,
+                align_from=batch.valid,
+                align_to=batch.valid,
+            )
+        else:
+            g = prefsuf.build_gcps_graph(
+                batch.packed, batch.lengths, len(batch),
+                ell_min=cfg.min_overlap_pref_suf,
+                cap=cfg.read_length_cap,
+                rsoe=cfg.rsoe_min_overlap,
+                soes=cfg.soes,
+                align_from=batch.valid,
+                align_to=batch.valid,
+            )
     g = g.retain_min_offset()
     _log(f"overlap graph: {g.num_edges} edges over {g.n} reads")
     return g

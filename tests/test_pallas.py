@@ -1,8 +1,9 @@
 """Pallas banded-DP kernel differential tests (interpreter mode on CPU).
 
-The compiled Mosaic path is validated on real TPU runtimes; the axon
-tunnel used in this environment cannot execute Mosaic custom-calls (any
-pallas_call hangs), so compiled-Pallas is opt-in via ALGA_TPU_ENABLE_PALLAS.
+The compiled Mosaic path is validated on the real TPU (kernel output
+asserted equal to the XLA banded_lcs_batch on random pairs, and timed by
+bench.py); these tests exercise the identical kernel body through the
+Pallas interpreter so they run in CPU-only CI.
 """
 
 import numpy as np

@@ -73,3 +73,27 @@ def test_sharded_store_not_replicated(mesh8):
     arr = jax.device_put(padded, NamedSharding(mesh8, P("r", None)))
     for shard in arr.addressable_shards:
         assert shard.data.shape[0] == npad // 8
+
+
+def test_pipeline_sharded_gcps_byte_parity():
+    """Full assemble() with sharded_gcps="on" (8-device CPU mesh) produces
+    byte-identical contigs to the single-device path — the sharded GCPS is
+    wired into the production pipeline, not just a standalone module."""
+    from alga_tpu.config import AssemblyConfig
+    from alga_tpu.pipeline import assemble
+
+    rng = np.random.default_rng(42)
+    genome = random_dna(rng, 8000)
+    reads = []
+    for _ in range(1200):
+        p = int(rng.integers(0, 8000 - 100 + 1))
+        r = genome[p: p + 100]
+        if rng.random() < 0.5:
+            r = r.translate(str.maketrans("ACGT", "TGCA"))[::-1]
+        reads.append(r)
+
+    res_off = assemble(AssemblyConfig(sharded_gcps="off"), file1_seqs=reads)
+    res_on = assemble(AssemblyConfig(sharded_gcps="on"), file1_seqs=reads)
+    got = [c.seq for c in res_on.contigs]
+    want = [c.seq for c in res_off.contigs]
+    assert got == want and len(got) > 0
