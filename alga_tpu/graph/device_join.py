@@ -317,11 +317,80 @@ def _dominate_and_compact(packed, lengths, psrc, pdst, pell, pair_valid,
     return out, nkeep[-1]
 
 
+# capacity hints: (k, cap, rsoe, soes, n-bucket) -> (total, exp_total) of
+# the last run.  With a hint the whole GCPS chain below executes as ONE
+# dispatch (overflow checked on the result fetch) instead of four
+# host-synchronized stages — behind a high-latency link (the axon tunnel's
+# ~100ms RTT) the stepwise path spends most of its wall time waiting on
+# capacity scalars, not computing.  Hints persist next to the jax
+# compilation cache so warm processes go single-dispatch immediately.
+_cap_hints: dict = {}
+
+
+def _hints_path():
+    import os
+    d = os.environ.get("ALGA_TPU_CACHE",
+                       os.path.expanduser("~/.cache/alga_tpu_jax"))
+    return os.path.join(d, "gcps_cap_hints.json")
+
+
+def _load_hints():
+    import json
+    try:
+        with open(_hints_path()) as f:
+            for k, v in json.load(f).items():
+                _cap_hints[tuple(int(x) for x in k.split(","))] = tuple(v)
+    except Exception:
+        pass
+
+
+def _save_hints():
+    import json
+    import os
+    try:
+        path = _hints_path()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({",".join(str(x) for x in k): list(v)
+                       for k, v in _cap_hints.items()}, f)
+        os.replace(tmp, path)
+    except Exception:
+        pass
+
+
+_load_hints()
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12))
+def _gcps_fused(packed, lengths, af, at, k: int, num_windows: int, cap: int,
+                rsoe: int, soes: int, C: int, C3: int, W: int, W3: int):
+    """All four GCPS stages chained under one jit with guessed capacities.
+    Returns (out, [nkeep, total, nok, exp_total]); the caller discards the
+    result and retries exactly when total > C or exp_total > C3."""
+    worder, lo, counts, total, pvalid = _keys_and_counts(
+        packed, lengths, af, at, k, num_windows, cap)
+    Bv, Cv, Ev, nok = _expand_verify(
+        packed, lengths, worder, lo, counts, pvalid, af,
+        num_windows, k, cap, C, W)
+    t = jnp.arange(C, dtype=jnp.int32)
+    Bm = jnp.where(t < nok, Bv, _I32MAX)
+    (psrc, pdst, pell, pair_valid, rs, re_, r_start, cnt,
+     exp_total) = _post_join_stage(Bm, Cv, Ev, lengths, rsoe, soes)
+    out, nkeep = _dominate_and_compact(
+        packed, lengths, psrc, pdst, pell, pair_valid, rs, re_,
+        r_start, cnt, C3, W3)
+    scal = jnp.stack([nkeep.astype(jnp.int64), total.astype(jnp.int64),
+                      nok.astype(jnp.int64), exp_total.astype(jnp.int64)])
+    return out, scal
+
+
 def gcps_graph_device(packed_np, lengths_np, n: int, ell_min: int, cap: int,
                       rsoe: int, soes: int, align_from=None, align_to=None):
     """Full GCPS graph on device: join + regime/ring/dedup/domination.
     Only the final edge arrays cross device->host."""
     from alga_tpu.graph.overlap_graph import OverlapGraph
+    from alga_tpu.utils.timers import bump
 
     lengths = np.asarray(lengths_np, dtype=np.int64)
     max_len = int(lengths.max()) if n else 0
@@ -337,14 +406,38 @@ def gcps_graph_device(packed_np, lengths_np, n: int, ell_min: int, cap: int,
     lengths_d = jnp.asarray(lengths.astype(np.int32))
     af_d = jnp.asarray(af)
 
+    W = packing.words_for(min(max_len, cap))
+    max_off = max(1, min(max_len, cap) - int(rsoe))
+    W3 = packing.words_for(min(max_off, min(max_len, cap)))
+    hint_key = (k, int(cap), int(rsoe), int(soes), n >> 10)
+    hint = _cap_hints.get(hint_key)
+    if hint is not None:
+        C = _round_cap(hint[0] * 3 // 2)
+        C3 = _round_cap(hint[1] * 3 // 2)
+        out, scal = _gcps_fused(
+            packed_d, lengths_d, af_d, jnp.asarray(at), k, num_windows,
+            int(cap), int(rsoe), int(soes), C, C3, W, W3)
+        nkeep_i, total, nok_i, exp_total = (int(x) for x in np.asarray(scal))
+        _cap_hints[hint_key] = (total, exp_total)
+        _save_hints()
+        if total <= C and exp_total <= C3:
+            bump("gcps_candidates", total)
+            bump("gcps_matches", nok_i)
+            bump("gcps_domination_checks", exp_total)
+            edges = np.asarray(out[: 3 * nkeep_i]).reshape(nkeep_i, 3)
+            return OverlapGraph(n, edges[:, 0].copy(), edges[:, 1].copy(),
+                                edges[:, 2].copy())
+        # capacities undershot: fall through to the exact stepwise path
+
     worder, lo, counts, total, pvalid = _keys_and_counts(
         packed_d, lengths_d, af_d, jnp.asarray(at), k, num_windows, cap)
     total = int(total)
     if total == 0:
+        _cap_hints[hint_key] = (0, 0)
+        _save_hints()
         return OverlapGraph.empty(n)
 
     C = _round_cap(total)
-    W = packing.words_for(min(max_len, cap))
     Bv, Cv, Ev, nok = _expand_verify(
         packed_d, lengths_d, worder, lo, counts, pvalid, af_d,
         num_windows, k, int(cap), C, W)
@@ -357,13 +450,12 @@ def gcps_graph_device(packed_np, lengths_np, n: int, ell_min: int, cap: int,
      exp_total) = _post_join_stage(Bm, Cv, Ev, lengths_d, int(rsoe),
                                    int(soes))
     # hot-loop counters (ref GCPS.h:111-118 GATHER_STATISTICS atomics)
-    from alga_tpu.utils.timers import bump
     bump("gcps_candidates", total)
     bump("gcps_matches", int(nok))
     bump("gcps_domination_checks", int(exp_total))
     C3 = _round_cap(int(exp_total))
-    max_off = max(1, min(max_len, cap) - int(rsoe))
-    W3 = packing.words_for(min(max_off, min(max_len, cap)))
+    _cap_hints[hint_key] = (total, int(exp_total))
+    _save_hints()
     out, nkeep = _dominate_and_compact(
         packed_d, lengths_d, psrc, pdst, pell, pair_valid, rs, re_,
         r_start, cnt, C3, W3)

@@ -186,7 +186,7 @@ def build_gcps_graph(packed, lengths, n: int, ell_min: int, cap: int,
         # length equals n_windows, so long sequences (contig-trim graphs)
         # would dominate compile time (see hashes.window_keys heuristic)
         if (_jax.default_backend() != "cpu"
-                and len(lengths) * n_windows >= 1 << 21
+                and len(lengths) * n_windows >= 1 << 18
                 and n_windows <= 4096):
             # full device path: join + post-join stages; only final edges
             # cross device->host

@@ -150,7 +150,7 @@ def window_keys(packed: np.ndarray, codes_or_none, lengths, k: int,
     dominate compile time)."""
     n = packed.shape[0] if packed is not None else codes_or_none.shape[0]
     if prefer_device is None:
-        prefer_device = (n * num_windows >= 1 << 21) and (num_windows <= 4096)
+        prefer_device = (n * num_windows >= 1 << 18) and (num_windows <= 4096)
     if prefer_device and packed is not None:
         k1, k2, valid = window_kmer_keys_u32(packed, np.asarray(lengths), k, num_windows)
         k1, k2, valid = np.asarray(k1), np.asarray(k2), np.asarray(valid)

@@ -101,15 +101,17 @@ def _dp_bench():
     """Banded-LCS DP kernel throughput in Gcells/s (the BASELINE.json
     'Overlap-DP kernel Gcells/s vs roofline' metric).
 
-    Cells = pairs x rows(len1 - p_beg) x band(2E+1).  Roofline note: the DP
-    is VPU (elementwise int32) work, ~6 ops/cell; the v5e VPU (8x128 lanes
-    x ~0.94 GHz ~= 1 T int-ops/s) bounds the kernel near ~160 Gcells/s.
-    Measured: ~149 Gcells/s on v5e (2026-08) — ~93% of that bound; the XLA
-    scan keeps the [M, B] carry in VMEM across rows.  Reference hot loop:
-    ACLCS.cpp:61-150 (scalar-sequential, roughly 0.1 Gcells/s/core).
+    Cells = pairs x rows(len1 - p_beg) x band(2E+1).  Measured on v5e
+    (2026-08-20, iterations chained on-device): Pallas Mosaic kernel
+    ~4.8-5.3 Gcells/s, XLA lax.scan kernel ~0.055 Gcells/s (the scan's
+    per-row dynamic slices defeat fusion).  Roofline note: counting only
+    band cells, ~25 ops+selects/cell on the VPU (8x128 lanes x ~0.94 GHz)
+    plus the HBM passes of the offset pre-alignment bound the current
+    layout near ~15 Gcells/s — the kernel is at ~1/3 of that, the rest
+    going to the XLA-side gather/transpose prep.  Reference hot loop:
+    ACLCS.cpp:61-150 (scalar-sequential, ~0.1 Gcells/s/core; a 32-core
+    run is ~3.2 Gcells/s — the single-chip Pallas kernel beats it).
     """
-    import os
-
     import jax
     import jax.numpy as jnp
     from alga_tpu.ops.align import banded_lcs_batch

@@ -35,15 +35,35 @@ def test_reference_binary_roundtrip(rng, tmp_path):
 
 @pytest.mark.skipif(not os.path.exists("/tmp/refbuild/ALGA"),
                     reason="reference binary not built")
-def test_reference_binary_matches_reference_writer(rng, tmp_path):
-    """Our reader parses graphs the actual reference binary wrote (the
-    benchdata artifacts) — covered by the parity investigation; here we
-    validate the header/record framing on a fresh reference dump."""
-    path = "/tmp/benchdata/ALGA_reads_scale55_noN_beforeSimplifier.graph"
-    if not os.path.exists(path):
-        pytest.skip("no reference dump available")
-    g = serialize.read_reference_graph(path)
-    assert g.n > 0 and g.num_edges > 0
+def test_midphase_graph_matches_reference_dump(rng, tmp_path):
+    """Generate a reference --serialize dump in-test and compare the
+    mid-phase (before-simplifier) graph EDGE-FOR-EDGE against ours on the
+    same input (VERDICT round-1 'harden the parity suite' item: mid-phase
+    serialized-graph comparison, not just final-FASTA parity)."""
+    genome = random_genome(rng, 12000)
+    reads = [genome[i: i + 100] for i in range(0, 11900, 7)]
+    fa = tmp_path / "r.fasta"
+    fa.write_text("".join(f">r{i}\n{s}\n" for i, s in enumerate(reads)))
+
+    subprocess.run(
+        ["/tmp/refbuild/ALGA", "--file1", str(fa), "--threads", "1",
+         "--output", str(tmp_path / "ref.fasta"), "--serialize", "1"],
+        cwd=str(tmp_path), capture_output=True, check=True)
+    dumps = [p for p in os.listdir(tmp_path) if
+             p.endswith("beforeSimplifier.graph")]
+    assert dumps, "reference produced no --serialize dump"
+    ref_g = serialize.read_reference_graph(str(tmp_path / dumps[0]))
+
+    from alga_tpu.config import AssemblyConfig
+    from alga_tpu.pipeline import assemble
+    pfx = str(tmp_path / "ours")
+    assemble(AssemblyConfig(serialize_graph=True, checkpoint_prefix=pfx,
+                            output=str(tmp_path / "ours.fasta")),
+             file1_seqs=reads)
+    our_g = serialize.read_reference_graph(pfx + "_beforeSimplifier.graph")
+
+    assert our_g.n == ref_g.n
+    assert our_g.edge_set() == ref_g.edge_set()
 
 
 def test_npz_checkpoint_roundtrip(rng, tmp_path):
