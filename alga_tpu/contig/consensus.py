@@ -77,12 +77,15 @@ def correct_all(contigs: list[Contig], batch: SeqBatch) -> None:
     native engine when available."""
     if not contigs:
         return
-    codes = batch.codes()
     from alga_tpu import native as native_mod
     if native_mod.available():
-        native_mod.consensus_native(contigs, batch, codes,
+        # vote directly from the 2-bit packed store — the uint8[N, L] code
+        # matrix is never materialized (memory diet; ref streams per-read,
+        # Read.cpp:40-68)
+        native_mod.consensus_native(contigs, batch, None,
                                     COVERAGE_TRIM_THRESHOLD)
         return
+    codes = batch.codes()
     lengths = batch.lengths.astype(np.int64)
 
     # per-contig absolute starts/lengths

@@ -32,6 +32,41 @@ from alga_tpu.ops import hashes
 from alga_tpu.ops.bitops import _pad_words, _shifted_words
 
 
+def _word_at(rows, idx):
+    """rows[m, idx[m]] for u32 rows[M, Wp] with a per-row word index — a
+    select chain over the (small, static) word axis instead of an element
+    gather: on TPU a 786k-element gather costs ~25 ms while Wp vector
+    selects cost microseconds."""
+    out = jnp.zeros(rows.shape[0], dtype=jnp.uint32)
+    for w in range(rows.shape[1]):
+        out = jnp.where(idx == w, rows[:, w], out)
+    return out
+
+
+def _substr_eq_rows(rows_a, start, rows_b, match_len, num_words: int):
+    """bool[M]: A[start+t] == B[t] for t < match_len, operating on
+    PREFETCHED padded rows (one cheap row gather upstream replaces
+    3*num_words element gathers here)."""
+    wa = rows_a.shape[1] - 1
+    wb = rows_b.shape[1] - 1
+    sb = ((start & 15) * 2).astype(jnp.uint32)
+    sw0 = start >> 4
+    ml = match_len.astype(jnp.int32)
+    eq = jnp.ones(rows_a.shape[0], dtype=bool)
+    for w in range(num_words):
+        lo = _word_at(rows_a, jnp.minimum(sw0 + w, wa))
+        hi = _word_at(rows_a, jnp.minimum(sw0 + w + 1, wa))
+        a_word = (lo >> sb) | jnp.where(sb == 0, jnp.uint32(0),
+                                        hi << (32 - sb))
+        b_word = rows_b[:, min(w, wb - 1)]
+        diff = a_word ^ b_word
+        rem = jnp.clip(ml - 16 * w, 0, 16)
+        mask = jnp.where(rem >= 16, jnp.uint32(0xFFFFFFFF),
+                         (jnp.uint32(1) << (rem.astype(jnp.uint32) * 2)) - 1)
+        eq &= (diff & mask) == 0
+    return eq
+
+
 @partial(jax.jit, static_argnums=(4, 5, 6))
 def _keys_and_counts(packed, lengths, af, at, k: int, num_windows: int,
                      cap: int):
@@ -115,20 +150,14 @@ def _expand_verify(packed, lengths, worder, lo, counts,
           & (p + k <= lenB)              # window inside read B
           & (p >= lenB - cap))           # overlap ell <= cap
 
-    # exact packed verification: B[p : p+ell] == Cid[0 : ell]
-    packed_u = packed.astype(jnp.uint32)
-    packed_pad = _pad_words(packed_u)
-    eq = jnp.ones(C, dtype=bool)
-    ml = jnp.where(ok, ell, 0).astype(jnp.int32)
-    for w in range(num_words):
-        a_word = _shifted_words(packed_pad, B, p, w)
-        b_word = packed_pad[Cid, jnp.minimum(w, packed.shape[1] - 1)]
-        diff = a_word ^ b_word
-        rem = jnp.clip(ml - 16 * w, 0, 16)
-        mask = jnp.where(rem >= 16, jnp.uint32(0xFFFFFFFF),
-                         (jnp.uint32(1) << (rem.astype(jnp.uint32) * 2)) - 1)
-        eq &= (diff & mask) == 0
-    ok &= eq
+    # exact packed verification: B[p : p+ell] == Cid[0 : ell] — the two
+    # packed rows are prefetched with ROW gathers (cheap) and the funnel
+    # shift runs on the prefetched rows (select chain, no element gathers)
+    packed_pad = _pad_words(packed.astype(jnp.uint32))
+    rows_b = packed_pad[jnp.clip(B, 0, n - 1)]
+    rows_c = packed_pad[jnp.clip(Cid, 0, n - 1)]
+    ok &= _substr_eq_rows(rows_b, p, rows_c,
+                          jnp.where(ok, ell, 0), num_words)
 
     # compact survivors to the front with a stable scatter
     nok = jnp.cumsum(ok.astype(jnp.int32))
@@ -156,100 +185,100 @@ _I32MAX = np.int32(0x7FFFFFFF)
 @partial(jax.jit, static_argnums=(4, 5))
 def _post_join_stage(B, Cd, E, lengths, rsoe: int, soes: int):
     """From padded match arrays (invalid entries have B == I32MAX) produce:
-      pair arrays (psrc, pdst, pell, pair_valid) sorted by (src, dst),
-      regime-2 removers sorted by dst (rs, rd, re) + per-dst starts,
+      pair arrays (psrc, pdst, pell, p_off, p_rs) sorted by (src, dst),
+      regime-2 removers sorted by (dst, off) as (rsrc, rell, roff),
       per-pair domination-expansion counts and their total.
+
+    Sort keys are PACKED into single uint32 keys (id * 1024 + small-field)
+    so XLA's fast single/two-key sort path applies — the 3-key comparator
+    sorts cost ~40 ms/1.5M rows on v5e while packed-key sorts are ~1 ms.
+    Requires ids < 2^22 and ell/off < 1024, guaranteed by the caller's
+    routing guard (gcps_graph_device is only entered for short-read
+    batches; larger graphs take the host or sharded paths).
     """
     Cap = B.shape[0]
     n = lengths.shape[0]
     lengths = lengths.astype(jnp.int32)
+    SENTU = jnp.uint32(0xFFFFFFFF)
     valid = B != _I32MAX
+    Bu = B.astype(jnp.uint32)
+    Cu = Cd.astype(jnp.uint32)
+    Eu = E.astype(jnp.uint32)
 
     # --- regime-1 ring survivors: per src, last `soes` matches with
     # ell < rsoe in canonical arrival order (ell asc, dst asc) -------------
     r1 = valid & (E < rsoe)
-    key_src = jnp.where(r1, B, _I32MAX)
-    s_src, s_ell, s_dst = jax.lax.sort(
-        (key_src, jnp.where(r1, E, _I32MAX), jnp.where(r1, Cd, _I32MAX)),
-        num_keys=3)
+    k1 = jnp.where(r1, (Bu << 10) | Eu, SENTU)       # (src, ell)
+    k2 = jnp.where(r1, Cu, SENTU)                    # dst tiebreak
+    s1, s2 = jax.lax.sort((k1, k2), num_keys=2)
+    s_srck = s1 >> 10
     t = jnp.arange(Cap, dtype=jnp.int32)
     is_start = jnp.concatenate(
-        [jnp.ones(1, bool), s_src[1:] != s_src[:-1]])
+        [jnp.ones(1, bool), s_srck[1:] != s_srck[:-1]])
     gid = jnp.cumsum(is_start.astype(jnp.int32)) - 1
     glast = jnp.zeros(Cap, dtype=jnp.int32).at[gid].max(t)
-    ring_keep = (s_src != _I32MAX) & (glast[gid] - t < soes)
+    ring_keep = (s1 != SENTU) & (glast[gid] - t < soes)
 
     # --- pair instances = ring survivors + all regime-2 matches;
     # dedup by (src, dst) keeping max ell ----------------------------------
     r2 = valid & (E >= rsoe)
-    inst_src = jnp.concatenate([jnp.where(ring_keep, s_src, _I32MAX),
-                                jnp.where(r2, B, _I32MAX)])
-    inst_dst = jnp.concatenate([jnp.where(ring_keep, s_dst, _I32MAX),
-                                jnp.where(r2, Cd, _I32MAX)])
-    inst_ell = jnp.concatenate([jnp.where(ring_keep, s_ell, _I32MAX),
-                                jnp.where(r2, E, _I32MAX)])
-    psrc, pdst, pell = jax.lax.sort((inst_src, inst_dst, inst_ell),
-                                    num_keys=3)
+    i1 = jnp.concatenate([jnp.where(ring_keep, s_srck, SENTU),
+                          jnp.where(r2, Bu, SENTU)])
+    i2 = jnp.concatenate([jnp.where(ring_keep, (s2 << 10) | (s1 & 1023),
+                                    SENTU),
+                          jnp.where(r2, (Cu << 10) | Eu, SENTU)])
+    p1, p2 = jax.lax.sort((i1, i2), num_keys=2)
     is_last = jnp.concatenate(
-        [(psrc[:-1] != psrc[1:]) | (pdst[:-1] != pdst[1:]),
+        [(p1[:-1] != p1[1:]) | ((p2[:-1] >> 10) != (p2[1:] >> 10)),
          jnp.ones(1, bool)])
-    pair_valid = is_last & (psrc != _I32MAX)
+    pair_valid = is_last & (p1 != SENTU)
+    psrc = p1.astype(jnp.int32)
+    pdst = (p2 >> 10).astype(jnp.int32)
+    pell = (p2 & 1023).astype(jnp.int32)
+    p_off = jnp.where(pair_valid,
+                      lengths[jnp.clip(psrc, 0, n - 1)] - pell, 0)
 
-    # --- removers: regime-2 matches grouped by dst, offset ascending ------
+    # --- removers: regime-2 matches keyed (dst, off) ascending ------------
     # (off = len_src - ell); only removers with offB <= offA can dominate a
     # pair (offA >= offB is part of the predicate, ref GCPS.cpp:414), so
     # with removers sorted by (dst, off) each pair's eligible removers are
-    # a PREFIX of its dst run — counted below by a merged-rank sort instead
-    # of per-pair binary searches.
-    r_off = jnp.where(r2, lengths[jnp.clip(B, 0, n - 1)] - E, _I32MAX)
-    rd, ro_s, rs, re_ = jax.lax.sort(
-        (jnp.where(r2, Cd, _I32MAX), r_off,
-         jnp.where(r2, B, _I32MAX), jnp.where(r2, E, _I32MAX)), num_keys=3)
-    r_counts = jnp.zeros(n, dtype=jnp.int32).at[rd].add(1, mode="drop")
+    # a PREFIX of its dst run — counted by ONE binary search per pair.
+    r_off = (lengths[jnp.clip(B, 0, n - 1)] - E).astype(jnp.uint32)
+    rkey = jnp.where(r2, (Cu << 10) | r_off, SENTU)
+    rk_s, rs, re_, ro = jax.lax.sort(
+        (rkey, jnp.where(r2, Bu, SENTU),
+         jnp.where(r2, Eu, SENTU), r_off), num_keys=1)
+    rd_s = jnp.where(rk_s != SENTU, (rk_s >> 10).astype(jnp.int32), n)
+    r_counts = jnp.zeros(n, dtype=jnp.int32).at[rd_s].add(1, mode="drop")
     r_start = jnp.cumsum(r_counts) - r_counts
 
-    # merged rank: union of removers (tag 0) and pairs (tag 1) sorted by
-    # (dst, off, tag) — a pair's count of preceding removers in its dst
-    # group = number of eligible removers (off <= offA, remover-first ties)
-    p_off = jnp.where(pair_valid,
-                      lengths[jnp.clip(psrc, 0, n - 1)] - pell, _I32MAX)
-    u_dst = jnp.concatenate([rd, jnp.where(pair_valid, pdst, _I32MAX)])
-    u_off = jnp.concatenate([ro_s, p_off])
-    u_tag = jnp.concatenate([jnp.zeros_like(rd),
-                             jnp.ones(pdst.shape[0], dtype=jnp.int32)])
-    u_idx = jnp.concatenate([jnp.zeros_like(rd),
-                             jnp.arange(pdst.shape[0], dtype=jnp.int32)])
-    s_dst, s_off, s_tag, s_idx = jax.lax.sort(
-        (u_dst, u_off, u_tag, u_idx), num_keys=3)
-    rem_before = jnp.cumsum((s_tag == 0).astype(jnp.int32))  # inclusive
-    # eligible removers for the pair at sorted slot = removers before it in
-    # the SAME dst group = rem_before - removers before the group start
-    grp_start = jnp.concatenate(
-        [jnp.ones(1, bool), s_dst[1:] != s_dst[:-1]])
-    ggid = jnp.cumsum(grp_start.astype(jnp.int32)) - 1
-    grp_base = jnp.full(s_dst.shape[0], _I32MAX, dtype=jnp.int32).at[
-        ggid].min(rem_before - (s_tag == 0).astype(jnp.int32), mode="drop")
-    elig = rem_before - grp_base[ggid]
-    is_pair = (s_tag == 1) & (s_dst != _I32MAX)
-    cnt = jnp.zeros(pdst.shape[0], dtype=jnp.int32).at[
-        jnp.where(is_pair, s_idx, pdst.shape[0])].set(
-        jnp.where(is_pair, elig, 0), mode="drop")
-    cnt = jnp.where(pair_valid, cnt, 0)
+    # eligible removers per pair: removers in the pair's dst group with
+    # off <= offA (remover-first at equal off = side='right')
+    pkey = jnp.where(pair_valid,
+                     (pdst.astype(jnp.uint32) << 10)
+                     | p_off.astype(jnp.uint32), SENTU)
+    ub = jnp.searchsorted(rk_s, pkey, side="right").astype(jnp.int32)
+    p_rs = r_start[jnp.clip(pdst, 0, n - 1)]
+    cnt = jnp.where(pair_valid, ub - p_rs, 0)
     exp_total = cnt.sum()
-    return (psrc, pdst, pell, pair_valid, rs, re_, r_start, cnt,
-            exp_total)
+    return (psrc, pdst, pell, p_off, p_rs, pair_valid,
+            rs.astype(jnp.int32), re_.astype(jnp.int32),
+            ro.astype(jnp.int32), cnt, exp_total)
 
 
-@partial(jax.jit, static_argnums=(10, 11))
-def _dominate_and_compact(packed, lengths, psrc, pdst, pell, pair_valid,
-                          rs, re_, r_start, cnt,
-                          C3: int, num_words: int):
+@partial(jax.jit, static_argnums=(11, 12, 13))
+def _dominate_and_compact(packed, psrc, pdst, pell, p_off, p_rs,
+                          pair_valid, rs, re_, ro, cnt,
+                          C3: int, num_words: int, CE: int = 0):
     """Expand (pair x same-dst regime-2 remover), apply the reference's
     domination predicate (ref GCPS.cpp:403-483 reformulated), compact the
-    surviving edges (src, dst, offset) to the front."""
+    surviving edges (src, dst, offset) to the front.
+
+    All per-slot pair/remover fields arrive via two ROW gathers of stacked
+    matrices (each ~25 ms/1.5M on v5e) instead of 7 element gathers, and
+    lengths are reconstructed as off + ell — no lengths[] gathers at all."""
     n = packed.shape[0]
     Cap = psrc.shape[0]
-    lengths = lengths.astype(jnp.int32)
 
     csum = jnp.cumsum(cnt)
     total = csum[-1]
@@ -267,38 +296,31 @@ def _dominate_and_compact(packed, lengths, psrc, pdst, pell, pair_valid,
     pj = nz_ids[jnp.clip(j, 0, Cap - 1)]
 
     rank = t - csum_ex[pj]
-    A = psrc[pj]
-    ellA = pell[pj]
-    dstA = pdst[pj]
-    A_c = jnp.clip(A, 0, n - 1)
-    lenA = lengths[A_c]
-    offA = lenA - ellA
+    pmat = jnp.stack([psrc, pell, p_off, p_rs], axis=1)
+    prow = pmat[pj]                                  # row gather [C3, 4]
+    A = prow[:, 0]
+    ellA = prow[:, 1]
+    offA = prow[:, 2]
+    lenA = offA + ellA
 
-    ridx = jnp.clip(r_start[jnp.clip(dstA, 0, n - 1)] + rank, 0,
-                    rs.shape[0] - 1)
-    Br = rs[ridx]
-    ellB = re_[ridx]
-    Br_c = jnp.clip(Br, 0, n - 1)
-    lenB = lengths[Br_c]
-    offB = lenB - ellB
+    ridx = jnp.clip(prow[:, 3] + rank, 0, rs.shape[0] - 1)
+    rmat = jnp.stack([rs, re_, ro], axis=1)
+    rrow = rmat[ridx]                                # row gather [C3, 3]
+    Br = rrow[:, 0]
+    ellB = rrow[:, 1]
+    offB = rrow[:, 2]
+    lenB = offB + ellB
 
     later = (ellB > ellA) | ((ellB == ellA) & (Br > A))
     cond = (in_range & later & (Br != A) & (offB > 0) & (offA >= offB)
             & (lenB + (offA - offB) - lenA >= 0))
 
-    # A[offA-offB : offA] == B[0 : offB]  (packed compare)
+    # A[offA-offB : offA] == B[0 : offB] on row-prefetched packed words
     packed_pad = _pad_words(packed.astype(jnp.uint32))
-    eq = jnp.ones(C3, dtype=bool)
-    start = jnp.maximum(offA - offB, 0)
-    ml = jnp.where(cond, offB, 0).astype(jnp.int32)
-    for w in range(num_words):
-        a_word = _shifted_words(packed_pad, A_c, start, w)
-        b_word = packed_pad[Br_c, jnp.minimum(w, packed.shape[1] - 1)]
-        diff = a_word ^ b_word
-        rem = jnp.clip(ml - 16 * w, 0, 16)
-        mask = jnp.where(rem >= 16, jnp.uint32(0xFFFFFFFF),
-                         (jnp.uint32(1) << (rem.astype(jnp.uint32) * 2)) - 1)
-        eq &= (diff & mask) == 0
+    rows_a = packed_pad[jnp.clip(A, 0, n - 1)]
+    rows_b = packed_pad[jnp.clip(Br, 0, n - 1)]
+    eq = _substr_eq_rows(rows_a, jnp.maximum(offA - offB, 0), rows_b,
+                         jnp.where(cond, offB, 0), num_words)
     dominated = cond & eq
 
     removed = jnp.zeros(Cap, dtype=bool).at[
@@ -307,10 +329,13 @@ def _dominate_and_compact(packed, lengths, psrc, pdst, pell, pair_valid,
     keep = pair_valid & ~removed
     nkeep = jnp.cumsum(keep.astype(jnp.int32))
     out_pos = jnp.where(keep, nkeep - 1, Cap)
-    p_off = jnp.where(pair_valid,
-                      lengths[jnp.clip(psrc, 0, n - 1)] - pell, 0)
-    # single interleaved output array -> ONE device->host transfer
-    out = jnp.zeros(3 * Cap, dtype=jnp.int32)
+    # single interleaved output array -> ONE device->host transfer.
+    # CE > 0 bounds the output at an edge-count capacity hint (overflow is
+    # detected from the returned nkeep); edges past CE scatter out of range
+    # and are dropped — +2 pad so a partial triple can't land in-bounds.
+    E = CE if CE > 0 else Cap
+    out_pos = jnp.where(out_pos < E, out_pos, E + 2)
+    out = jnp.zeros(3 * E, dtype=jnp.int32)
     out = out.at[3 * out_pos].set(psrc, mode="drop")
     out = out.at[3 * out_pos + 1].set(pdst, mode="drop")
     out = out.at[3 * out_pos + 2].set(p_off, mode="drop")
@@ -324,7 +349,26 @@ def _dominate_and_compact(packed, lengths, psrc, pdst, pell, pair_valid,
 # ~100ms RTT) the stepwise path spends most of its wall time waiting on
 # capacity scalars, not computing.  Hints persist next to the jax
 # compilation cache so warm processes go single-dispatch immediately.
+#
+# Warm-state stability contract (the round-2 regression fix): capacities
+# are ALWAYS derived from totals through the single function _caps(), and
+# a GCPS call only returns once it has executed at the canonical
+# _caps(actual totals) — so every warm run re-dispatches the exact same
+# executable (in-process jit cache / persistent XLA cache hit), never a
+# fresh compile inside a timed region.
 _cap_hints: dict = {}
+_hints_dirty = False
+
+
+def _caps(total: int, exp_total: int, nkeep: int) -> tuple[int, int, int]:
+    """Canonical capacity derivation (shared by every path): 1.25x headroom
+    over the observed totals, rounded to the 64Ki executable-reuse quantum.
+    The third capacity bounds the edge OUTPUT array — behind a slow link the
+    result fetch is bandwidth-bound, so it is sized by the edge count, not
+    by the pair capacity."""
+    return (_round_cap(max(int(total), 1) * 5 // 4),
+            _round_cap(max(int(exp_total), 1) * 5 // 4),
+            _round_cap(max(int(nkeep), 1) * 5 // 4))
 
 
 def _hints_path():
@@ -339,12 +383,16 @@ def _load_hints():
     try:
         with open(_hints_path()) as f:
             for k, v in json.load(f).items():
-                _cap_hints[tuple(int(x) for x in k.split(","))] = tuple(v)
+                if len(v) == 3:   # older 2-tuple hint files are ignored
+                    _cap_hints[tuple(int(x) for x in k.split(","))] = tuple(v)
     except Exception:
         pass
 
 
 def _save_hints():
+    global _hints_dirty
+    if not _hints_dirty:
+        return
     import json
     import os
     try:
@@ -355,19 +403,34 @@ def _save_hints():
             json.dump({",".join(str(x) for x in k): list(v)
                        for k, v in _cap_hints.items()}, f)
         os.replace(tmp, path)
+        _hints_dirty = False
     except Exception:
         pass
+
+
+def _update_hint(key, total: int, exp_total: int, nkeep: int):
+    """Record observed totals; persist only when the derived capacities
+    change (totals jitter within a 64Ki quantum costs no recompile, so
+    rewriting the file for it would be pure churn)."""
+    global _hints_dirty
+    old = _cap_hints.get(key)
+    _cap_hints[key] = (int(total), int(exp_total), int(nkeep))
+    if old is None or _caps(*old) != _caps(total, exp_total, nkeep):
+        _hints_dirty = True
+        _save_hints()
 
 
 _load_hints()
 
 
-@partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12))
+@partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13))
 def _gcps_fused(packed, lengths, af, at, k: int, num_windows: int, cap: int,
-                rsoe: int, soes: int, C: int, C3: int, W: int, W3: int):
-    """All four GCPS stages chained under one jit with guessed capacities.
-    Returns (out, [nkeep, total, nok, exp_total]); the caller discards the
-    result and retries exactly when total > C or exp_total > C3."""
+                rsoe: int, soes: int, C: int, C3: int, CE: int,
+                W: int, W3: int):
+    """All four GCPS stages chained under one jit with hinted capacities.
+    Returns ONE int32 array [edges*3 ... nkeep, total, nok, exp_total] so a
+    warm call is a single dispatch + a single device->host fetch; the
+    caller retries exactly when total > C, exp_total > C3, or nkeep > CE."""
     worder, lo, counts, total, pvalid = _keys_and_counts(
         packed, lengths, af, at, k, num_windows, cap)
     Bv, Cv, Ev, nok = _expand_verify(
@@ -375,14 +438,14 @@ def _gcps_fused(packed, lengths, af, at, k: int, num_windows: int, cap: int,
         num_windows, k, cap, C, W)
     t = jnp.arange(C, dtype=jnp.int32)
     Bm = jnp.where(t < nok, Bv, _I32MAX)
-    (psrc, pdst, pell, pair_valid, rs, re_, r_start, cnt,
+    (psrc, pdst, pell, p_off, p_rs, pair_valid, rs, re_, ro, cnt,
      exp_total) = _post_join_stage(Bm, Cv, Ev, lengths, rsoe, soes)
     out, nkeep = _dominate_and_compact(
-        packed, lengths, psrc, pdst, pell, pair_valid, rs, re_,
-        r_start, cnt, C3, W3)
-    scal = jnp.stack([nkeep.astype(jnp.int64), total.astype(jnp.int64),
-                      nok.astype(jnp.int64), exp_total.astype(jnp.int64)])
-    return out, scal
+        packed, psrc, pdst, pell, p_off, p_rs, pair_valid, rs, re_, ro,
+        cnt, C3, W3, CE)
+    scal = jnp.stack([nkeep.astype(jnp.int32), total.astype(jnp.int32),
+                      nok.astype(jnp.int32), exp_total.astype(jnp.int32)])
+    return jnp.concatenate([out, scal])
 
 
 def gcps_graph_device(packed_np, lengths_np, n: int, ell_min: int, cap: int,
@@ -398,6 +461,12 @@ def gcps_graph_device(packed_np, lengths_np, n: int, ell_min: int, cap: int,
     if n == 0 or max_len < k:
         return OverlapGraph.empty(n)
 
+    if n >= (1 << 22) or max_len >= 1024:
+        raise ValueError(
+            "gcps_graph_device requires n < 2^22 and read length < 1024 "
+            "(packed sort keys); route larger inputs through the host or "
+            "sharded paths")
+
     af = np.ones(n, dtype=bool) if align_from is None else np.asarray(align_from, bool)
     at = np.ones(n, dtype=bool) if align_to is None else np.asarray(align_to, bool)
 
@@ -409,60 +478,38 @@ def gcps_graph_device(packed_np, lengths_np, n: int, ell_min: int, cap: int,
     W = packing.words_for(min(max_len, cap))
     max_off = max(1, min(max_len, cap) - int(rsoe))
     W3 = packing.words_for(min(max_off, min(max_len, cap)))
+    at_d = jnp.asarray(at)
     hint_key = (k, int(cap), int(rsoe), int(soes), n >> 10)
-    hint = _cap_hints.get(hint_key)
-    if hint is not None:
-        C = _round_cap(hint[0] * 3 // 2)
-        C3 = _round_cap(hint[1] * 3 // 2)
-        out, scal = _gcps_fused(
-            packed_d, lengths_d, af_d, jnp.asarray(at), k, num_windows,
-            int(cap), int(rsoe), int(soes), C, C3, W, W3)
-        nkeep_i, total, nok_i, exp_total = (int(x) for x in np.asarray(scal))
-        _cap_hints[hint_key] = (total, exp_total)
-        _save_hints()
-        if total <= C and exp_total <= C3:
+    # target totals: last observed for this shape family, else a guess from
+    # measured candidate densities (~8 candidates + ~14 domination pairs per
+    # read on 20x short-read coverage; the retry loop corrects any input)
+    tgt = _cap_hints.get(hint_key, (12 * n, 24 * n, 4 * n))
+    for _attempt in range(8):
+        C, C3, CE = _caps(*tgt)
+        res = np.asarray(_gcps_fused(
+            packed_d, lengths_d, af_d, at_d, k, num_windows,
+            int(cap), int(rsoe), int(soes), C, C3, CE, W, W3))
+        nkeep_i, total, nok_i, exp_total = (int(x) for x in res[-4:])
+        if total <= C and exp_total <= C3 and nkeep_i <= CE:
+            if (C, C3, CE) != _caps(total, exp_total, nkeep_i):
+                # ran at non-canonical capacities (cold-start guess or a
+                # shrunken input): redo at the canonical ones so the NEXT
+                # call — the timed warm run — hits this exact executable
+                tgt = (total, exp_total, nkeep_i)
+                continue
+            _update_hint(hint_key, total, exp_total, nkeep_i)
             bump("gcps_candidates", total)
             bump("gcps_matches", nok_i)
             bump("gcps_domination_checks", exp_total)
-            edges = np.asarray(out[: 3 * nkeep_i]).reshape(nkeep_i, 3)
+            edges = res[: 3 * nkeep_i].reshape(nkeep_i, 3)
             return OverlapGraph(n, edges[:, 0].copy(), edges[:, 1].copy(),
                                 edges[:, 2].copy())
-        # capacities undershot: fall through to the exact stepwise path
-
-    worder, lo, counts, total, pvalid = _keys_and_counts(
-        packed_d, lengths_d, af_d, jnp.asarray(at), k, num_windows, cap)
-    total = int(total)
-    if total == 0:
-        _cap_hints[hint_key] = (0, 0)
-        _save_hints()
-        return OverlapGraph.empty(n)
-
-    C = _round_cap(total)
-    Bv, Cv, Ev, nok = _expand_verify(
-        packed_d, lengths_d, worder, lo, counts, pvalid, af_d,
-        num_windows, k, int(cap), C, W)
-
-    # mark the padding tail invalid for the post-join stages
-    t = jnp.arange(C, dtype=jnp.int32)
-    Bm = jnp.where(t < nok, Bv, _I32MAX)
-
-    (psrc, pdst, pell, pair_valid, rs, re_, r_start, cnt,
-     exp_total) = _post_join_stage(Bm, Cv, Ev, lengths_d, int(rsoe),
-                                   int(soes))
-    # hot-loop counters (ref GCPS.h:111-118 GATHER_STATISTICS atomics)
-    bump("gcps_candidates", total)
-    bump("gcps_matches", int(nok))
-    bump("gcps_domination_checks", int(exp_total))
-    C3 = _round_cap(int(exp_total))
-    _cap_hints[hint_key] = (total, int(exp_total))
-    _save_hints()
-    out, nkeep = _dominate_and_compact(
-        packed_d, lengths_d, psrc, pdst, pell, pair_valid, rs, re_,
-        r_start, cnt, C3, W3)
-    m = int(nkeep)
-    edges = np.asarray(out[: 3 * m]).reshape(m, 3)
-    return OverlapGraph(n, edges[:, 0].copy(), edges[:, 1].copy(),
-                        edges[:, 2].copy())
+        # undershoot: total is exact regardless of C; once total fits,
+        # exp_total is exact; once both fit, nkeep is exact — so growing
+        # each target monotonically converges in <= 3 retries
+        tgt = (max(total, tgt[0]), max(exp_total, tgt[1]),
+               max(nkeep_i, tgt[2]))
+    raise RuntimeError("gcps_graph_device: capacity retry did not converge")
 
 
 def find_exact_overlaps_device(packed_np, lengths_np, ell_min: int, cap: int,

@@ -185,9 +185,14 @@ def build_gcps_graph(packed, lengths, n: int, ell_min: int, cap: int,
         # device join only for large batches of SHORT sequences — the scan
         # length equals n_windows, so long sequences (contig-trim graphs)
         # would dominate compile time (see hashes.window_keys heuristic)
+        # (the packed-sort-key post-join additionally needs ids < 2^22 and
+        # lengths < 1024 — always true for the short-read batches this
+        # path serves; bigger inputs take the host or sharded paths)
         if (_jax.default_backend() != "cpu"
                 and len(lengths) * n_windows >= 1 << 18
-                and n_windows <= 4096):
+                and n_windows <= 4096
+                and n < (1 << 22)
+                and int(lengths.max(initial=0)) < 1024):
             # full device path: join + post-join stages; only final edges
             # cross device->host
             from alga_tpu.graph.device_join import gcps_graph_device

@@ -47,11 +47,23 @@ def get_lib():
         ctypes.c_int32, ctypes.c_int64, i32p, i32p, i32p, u8p, i32p,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, i32p, i32p, i32p]
 
+    lib.alga_mst_pass.restype = ctypes.c_int64
+    lib.alga_mst_pass.argtypes = [
+        ctypes.c_int32, ctypes.c_int64, i32p, i32p, i32p,
+        ctypes.c_int32, ctypes.c_int32, i32p, i32p, i32p]
+
     lib.alga_consensus.restype = None
     lib.alga_consensus.argtypes = [
         ctypes.c_int64, i64p, i32p, i32p,
         u8p, ctypes.c_int64, i32p, i64p, ctypes.c_int32,
         u8p, i64p, i64p]
+
+    u32p_ = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    lib.alga_consensus_packed.restype = None
+    lib.alga_consensus_packed.argtypes = [
+        ctypes.c_int64, i64p, i32p, i32p,
+        u32p_, ctypes.c_int64, i32p, i64p, ctypes.c_int32,
+        u8p, i64p, i64p, ctypes.c_int32]
 
     u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
     lib.alga_gcps_from_matches.restype = ctypes.c_int64
@@ -75,7 +87,7 @@ def get_lib():
         ctypes.c_int32, i8p, ctypes.c_double,
         ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int64, ctypes.c_int64,
-        i64p, i32p, i32p]
+        i64p, i32p, i32p, ctypes.c_int32]
 
     lib.alga_correct_pass.restype = ctypes.c_int64
     lib.alga_correct_pass.argtypes = [
@@ -181,9 +193,28 @@ def simplify_graph_old(g, batch, mopp: int, modb: int, threads: int = 6):
     return OverlapGraph(n, out_src[:m].copy(), out_dst[:m].copy(), out_off[:m].copy())
 
 
+def mst_pass(g, mopp_scaled: int, threads: int = 6):
+    """Native removeShortParallelPaths alone (used by the sharded
+    simplifier orchestration); returns the post-pass OverlapGraph in
+    canonical (src, offset, dst) order."""
+    from alga_tpu.graph.overlap_graph import OverlapGraph
+    lib = get_lib()
+    ne = g.num_edges
+    src = np.ascontiguousarray(g.src, dtype=np.int32)
+    dst = np.ascontiguousarray(g.dst, dtype=np.int32)
+    off = np.ascontiguousarray(g.offset, dtype=np.int32)
+    out_src = np.empty(max(ne, 1), dtype=np.int32)
+    out_dst = np.empty(max(ne, 1), dtype=np.int32)
+    out_off = np.empty(max(ne, 1), dtype=np.int32)
+    m = lib.alga_mst_pass(g.n, ne, src, dst, off, mopp_scaled, threads,
+                          out_src, out_dst, out_off)
+    return OverlapGraph(g.n, out_src[:m].copy(), out_dst[:m].copy(),
+                        out_off[:m].copy())
+
+
 def contract_and_walk(g, batch, mopp: int, min_output_length: int,
                       paired: bool, min_paired_connections: int,
-                      max_insert_size: int):
+                      max_insert_size: int, threads: int = 6):
     """Native contraction + walk; returns list of contig read-lists
     [(read_id, offset), ...] in creation order."""
     lib = get_lib()
@@ -206,7 +237,7 @@ def contract_and_walk(g, batch, mopp: int, min_output_length: int,
             n, ne, src, dst, off, valid, lens, mopp, min_output_length,
             1 if paired else 0, po, float(batch.avg_read_length()),
             min_paired_connections, max_insert_size,
-            max_contigs, cap_reads, indptr, creads, coffs)
+            max_contigs, cap_reads, indptr, creads, coffs, threads)
         if nc >= 0:
             break
         max_contigs *= 2
@@ -219,8 +250,13 @@ def contract_and_walk(g, batch, mopp: int, min_output_length: int,
     return out
 
 
-def consensus_native(contigs, batch, codes, coverage_thr: int):
-    """Native consensus voting; fills contig.seq.  contigs carry read lists."""
+def consensus_native(contigs, batch, codes, coverage_thr: int,
+                     threads: int = 0):
+    """Native consensus voting; fills contig.seq.  contigs carry read lists.
+
+    When `codes` is None the vote reads the 2-bit packed store directly
+    (alga_consensus_packed) — no uint8[N, L] matrix is ever materialized
+    (the memory-diet path; ref streams per-read, Read.cpp:40-68)."""
     lib = get_lib()
     nc = len(contigs)
     indptr = np.zeros(nc + 1, dtype=np.int64)
@@ -237,13 +273,21 @@ def consensus_native(contigs, batch, codes, coverage_thr: int):
         col_base[i + 1] = col_base[i] + ncols
     creads = np.ascontiguousarray(np.concatenate(reads_flat), dtype=np.int32)
     coffs = np.ascontiguousarray(np.concatenate(offs_flat), dtype=np.int32)
-    codes = np.ascontiguousarray(codes)
     rl = np.ascontiguousarray(batch.lengths, dtype=np.int32)
     out_bases = np.empty(int(col_base[-1]), dtype=np.uint8)
     out_begin = np.empty(nc, dtype=np.int64)
     out_end = np.empty(nc, dtype=np.int64)
-    lib.alga_consensus(nc, indptr, creads, coffs, codes, codes.shape[1], rl,
-                       col_base, coverage_thr, out_bases, out_begin, out_end)
+    if codes is None:
+        packed = np.ascontiguousarray(batch.packed, dtype=np.uint32)
+        lib.alga_consensus_packed(nc, indptr, creads, coffs, packed,
+                                  packed.shape[1], rl, col_base,
+                                  coverage_thr, out_bases, out_begin,
+                                  out_end, threads)
+    else:
+        codes = np.ascontiguousarray(codes)
+        lib.alga_consensus(nc, indptr, creads, coffs, codes, codes.shape[1],
+                           rl, col_base, coverage_thr, out_bases, out_begin,
+                           out_end)
     basechars = np.frombuffer(b"ACGT", dtype=np.uint8)
     for i, c in enumerate(contigs):
         b, e = int(out_begin[i]), int(out_end[i])

@@ -322,7 +322,8 @@ def assemble(cfg: AssemblyConfig,
                 g, batch, tcfg.max_offset_parallel_paths,
                 tcfg.contig_min_output_length, paired=paired_input,
                 min_paired_connections=tcfg.min_paired_connections,
-                max_insert_size=tcfg.max_length_of_insert_size)
+                max_insert_size=tcfg.max_length_of_insert_size,
+                threads=tcfg.threads)
             contigs = [walk_mod.Contig(i, "", rl)
                        for i, rl in enumerate(read_lists)]
     else:

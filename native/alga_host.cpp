@@ -17,7 +17,11 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
+#include <functional>
+#include <queue>
+#include <thread>
 #include <unordered_map>
 #include <unordered_set>
 #include <vector>
@@ -26,6 +30,38 @@ using std::pair;
 using std::vector;
 
 namespace {
+
+// Static range split (reference P1, e.g. Graph.cpp:348-364): thread t gets
+// [t*blk, (t+1)*blk); the calling thread takes block 0.  Unlike the
+// reference's hand-rolled fan-outs this is a helper, but the split shape is
+// the same.
+int resolve_threads(int threads) {
+    int T = threads > 0 ? threads : (int)std::thread::hardware_concurrency();
+    return T < 1 ? 1 : T;
+}
+
+// test hook: force every parallel section to execute sequentially (same
+// `threads` value, so the WorkloadManager coverage quirks are unchanged) —
+// lets the parity suite assert parallel == sequential execution bit-for-bit
+bool force_seq() { return getenv("ALGA_NATIVE_SEQ") != nullptr; }
+
+template <class F>
+void parallel_ranges(int64_t n, int threads, F&& job, int64_t min_par = 2048) {
+    int T = resolve_threads(threads);
+    if ((int64_t)T > n) T = (int)(n > 0 ? n : 1);
+    if (force_seq() || T == 1 || n < min_par) {
+        job(0, 0, n);
+        return;
+    }
+    int64_t blk = (n + T - 1) / T;
+    vector<std::thread> ths;
+    for (int t = 1; t < T; t++) {
+        int64_t a = (int64_t)t * blk, b = std::min(n, (int64_t)(t + 1) * blk);
+        if (a < b) ths.emplace_back(job, t, a, b);
+    }
+    job(0, 0, std::min(n, blk));
+    for (auto& th : ths) th.join();
+}
 
 struct Adj {
     // per-node adjacency (dst, offset); mutation semantics replicate
@@ -113,43 +149,61 @@ struct Adj {
 // ---------------------------------------------------------------------------
 // cutNonAndWeaklyMetricTriangles (ref GraphSimplifier.cpp:228-348):
 // two-phase — collect (node id asc, slot asc) on the frozen graph, then
-// remove.  Removal per source in collection order (per-thread lists in the
-// reference touch disjoint sources, so this order is schedule-independent).
-int64_t cut_triangles(Adj& g, int max_offset) {
-    vector<pair<int,int>> to_remove;
-    std::unordered_map<int,int> dst;
-    for (int i = 0; i < g.n; i++) {
-        dst.clear();
-        for (auto& e1 : g.out[i]) {
-            for (auto& e2 : g.out[e1.first]) {
-                int b = e2.first, w = e1.second + e2.second;
-                auto it = dst.find(b);
-                if (it == dst.end() || w < it->second) dst[b] = w;
+// remove.  Collection is thread-parallel over contiguous node ranges
+// (ref :284 runs per-node jobs in parallel); per-range lists concatenate in
+// range order, so the removal order is identical to the sequential pass —
+// schedule-independent, unlike the reference.
+vector<vector<pair<int,int>>> collect_triangles(const Adj& g,
+                                                int max_offset, int threads) {
+    int T = resolve_threads(threads);
+    vector<vector<pair<int,int>>> bufs(T);
+    parallel_ranges(g.n, T, [&](int t, int64_t a, int64_t b) {
+        auto& out = bufs[t];
+        std::unordered_map<int,int> dst;
+        for (int64_t i = a; i < b; i++) {
+            dst.clear();
+            for (auto& e1 : g.out[i]) {
+                for (auto& e2 : g.out[e1.first]) {
+                    int bb = e2.first, w = e1.second + e2.second;
+                    auto it = dst.find(bb);
+                    if (it == dst.end() || w < it->second) dst[bb] = w;
+                }
+            }
+            for (auto& e : g.out[i]) {
+                if (e.second > max_offset) continue;
+                auto it = dst.find(e.first);
+                if (it != dst.end() && it->second == e.second)
+                    out.push_back({(int)i, e.first});
             }
         }
-        for (auto& e : g.out[i]) {
-            if (e.second > max_offset) continue;
-            auto it = dst.find(e.first);
-            if (it != dst.end() && it->second == e.second)
-                to_remove.push_back({i, e.first});
-        }
-    }
-    for (auto& pr : to_remove) g.remove_edge(pr.first, pr.second);
-    return (int64_t)to_remove.size();
+    });
+    return bufs;
 }
 
-// tryToRemoveShortPathsMST (ref GraphSimplifier.cpp:431-518), seeds id-asc
-void mst_pop(Adj& g, int beg, int max_offset, vector<char>& was_arr) {
+int64_t cut_triangles(Adj& g, int max_offset, int threads) {
+    auto bufs = collect_triangles(g, max_offset, threads);
+    int64_t removed = 0;
+    for (auto& buf : bufs) {
+        removed += (int64_t)buf.size();
+        for (auto& pr : buf) g.remove_edge(pr.first, pr.second);
+    }
+    return removed;
+}
+
+// tryToRemoveShortPathsMST (ref GraphSimplifier.cpp:431-518), seeds id-asc.
+// Visited/kept bookkeeping uses local hash sets (the touched region is a
+// small bounded neighborhood) so concurrent pops on disjoint regions share
+// no scratch.
+void mst_pop(Adj& g, int beg, int max_offset) {
     vector<pair<pair<int,int>,int>> edges;
     vector<int> neigh{beg};
     std::unordered_map<int,int> dst;
     dst[beg] = 0;
-    vector<int> was_touched;
+    std::unordered_set<int> was;
     for (size_t i = 0; i < neigh.size(); i++) {
         int a = neigh[i];
-        if (was_arr[a] || dst[a] > max_offset) continue;
-        was_arr[a] = 1;
-        was_touched.push_back(a);
+        if (was.count(a) || dst[a] > max_offset) continue;
+        was.insert(a);
         for (auto& pr : g.out[a]) {
             int b = pr.first, offset = pr.second;
             auto it = dst.find(b);
@@ -164,14 +218,97 @@ void mst_pop(Adj& g, int beg, int max_offset, vector<char>& was_arr) {
         if (a.second != b.second) return a.second < b.second;
         return a.first < b.first;
     });
-    for (int a : was_touched) was_arr[a] = 0;
+    was.clear();
     for (auto& e : edges) {
-        if (was_arr[e.first.second]) continue;
+        if (was.count(e.first.second)) continue;
         g.out[e.first.first].push_back({e.first.second, e.second});
-        was_arr[e.first.second] = 1;
-        was_touched.push_back(e.first.second);
+        was.insert(e.first.second);
     }
-    for (int a : was_touched) was_arr[a] = 0;
+}
+
+// Conservative superset of the nodes mst_pop(beg) can read or mutate, on
+// the CURRENT graph: every node within true shortest-path distance
+// max_offset of beg, plus their out-neighbors.  Because a pop only removes
+// edges (re-adds are a subset of removals), later graphs are edge-subsets
+// of earlier ones, so a footprint computed up front stays a superset for
+// the whole pass — the basis for running seeds with disjoint footprints in
+// parallel while reproducing the sequential (seed-id-ascending) semantics
+// exactly.  (The reference runs these seeds racily under node locks,
+// GraphSimplifier.cpp:375-396 — ours is deterministic.)
+void mst_footprint(const Adj& g, int beg, int max_offset,
+                   vector<int>& out_nodes) {
+    std::unordered_map<int,int> d;
+    std::priority_queue<pair<int,int>, vector<pair<int,int>>,
+                        std::greater<pair<int,int>>> pq;
+    d[beg] = 0;
+    pq.push({0, beg});
+    std::unordered_set<int> foot;
+    foot.insert(beg);
+    while (!pq.empty()) {
+        auto top = pq.top(); pq.pop();
+        int dd = top.first, a = top.second;
+        auto it = d.find(a);
+        if (it == d.end() || dd > it->second) continue;
+        if (dd > max_offset) continue;
+        foot.insert(a);
+        for (auto& pr : g.out[a]) {
+            foot.insert(pr.first);
+            int nd = dd + pr.second;
+            auto jt = d.find(pr.first);
+            if (jt == d.end() || nd < jt->second) {
+                d[pr.first] = nd;
+                pq.push({nd, pr.first});
+            }
+        }
+    }
+    out_nodes.assign(foot.begin(), foot.end());
+}
+
+// removeShortParallelPaths (ref GraphSimplifier.cpp:351-518): seeds are
+// nodes with outdeg >= 2 within the WorkloadManager coverage (blocks=50*T,
+// ref :375).  Parallel execution in waves: seeds whose footprints are
+// disjoint run concurrently; a seed sharing any node with an earlier seed
+// is deferred to a later wave, so every conflicting pair executes in seed
+// order — bit-identical to the sequential pass (parity-tested in
+// tests/test_native.py).
+void mst_pass(Adj& g, int64_t nseeds_range, int max_offset, int threads) {
+    vector<int> seed_ids;
+    for (int64_t beg = 0; beg < nseeds_range; beg++)
+        if (g.out[beg].size() >= 2) seed_ids.push_back((int)beg);
+    int64_t ns = (int64_t)seed_ids.size();
+    if (ns == 0) return;
+    if (force_seq() || resolve_threads(threads) == 1 || ns < 64) {
+        for (int beg : seed_ids)
+            if (g.out[beg].size() >= 2) mst_pop(g, beg, max_offset);
+        return;
+    }
+    vector<vector<int>> foot(ns);
+    parallel_ranges(ns, threads, [&](int, int64_t a, int64_t b) {
+        for (int64_t i = a; i < b; i++)
+            mst_footprint(g, seed_ids[i], max_offset, foot[i]);
+    }, 64);
+    // wave layering: wave(j) = 1 + max wave of earlier seeds sharing a node
+    vector<int> node_wave(g.n, -1);
+    vector<int> wave(ns, 0);
+    int maxw = 0;
+    for (int64_t i = 0; i < ns; i++) {
+        int w = 0;
+        for (int v : foot[i]) w = std::max(w, node_wave[v] + 1);
+        wave[i] = w;
+        if (w > maxw) maxw = w;
+        for (int v : foot[i]) node_wave[v] = w;
+    }
+    vector<vector<int>> byw(maxw + 1);
+    for (int64_t i = 0; i < ns; i++) byw[wave[i]].push_back(seed_ids[i]);
+    for (auto& ws : byw) {
+        parallel_ranges((int64_t)ws.size(), threads,
+                        [&](int, int64_t a, int64_t b) {
+            for (int64_t i = a; i < b; i++) {
+                int beg = ws[i];
+                if (g.out[beg].size() >= 2) mst_pop(g, beg, max_offset);
+            }
+        }, 64);
+    }
 }
 
 // removeDanglingBranchesFromNode (ref GraphSimplifier.cpp:725-808)
@@ -229,13 +366,21 @@ int64_t remove_dangling(Adj& g, int max_offset, int threads) {
     // (blocks=10*T, ref :641), collected edges sort+unique'd then
     // std::random_shuffle'd with the never-seeded glibc rand() stream
     // (ref :677) and truncated by the removal WorkloadManager coverage
-    // (blocks=3*T, ref :679)
+    // (blocks=3*T, ref :679).  Seed collection is read-only on the frozen
+    // graph and thread-parallel; the sort+unique below canonicalizes the
+    // merged list, so the per-thread collection order is irrelevant.
     g.sort_by_neighbor();
-    vector<pair<int,int>> to_remove;
     int64_t seeds = workload_covered(g.n, 10LL * threads);
-    for (int seed = 0; seed < seeds; seed++)
-        if (g.out[seed].size() >= 2)
-            dangling_from_seed(g, seed, max_offset, to_remove);
+    int T = resolve_threads(threads);
+    vector<vector<pair<int,int>>> bufs(T);
+    parallel_ranges(seeds, threads, [&](int t, int64_t a, int64_t b) {
+        for (int64_t seed = a; seed < b; seed++)
+            if (g.out[seed].size() >= 2)
+                dangling_from_seed(g, (int)seed, max_offset, bufs[t]);
+    });
+    vector<pair<int,int>> to_remove;
+    for (auto& buf : bufs)
+        to_remove.insert(to_remove.end(), buf.begin(), buf.end());
     std::sort(to_remove.begin(), to_remove.end());
     to_remove.erase(std::unique(to_remove.begin(), to_remove.end()), to_remove.end());
     // libstdc++ std::random_shuffle (bits/stl_algo.h): rand() % (i+1)
@@ -284,7 +429,7 @@ int64_t alga_simplify_graph_old(
     g.init(n, ne, src, dst, off);
     g.sort_by_offset();
 
-    cut_triangles(g, mopp);
+    cut_triangles(g, mopp, threads);
     mark_isolated(g, valid);
     double avg = avg_read_length(n, read_lengths, valid);
 
@@ -293,13 +438,8 @@ int64_t alga_simplify_graph_old(
     // byte-parity-validated against the reference)
     int mopp_scaled = (int)((double)(mopp * avg) / (float)100);
     g.sort_by_offset();
-    {
-        // seed coverage: WorkloadManager blocks=50*T (ref :375)
-        vector<char> was(n, 0);
-        int64_t seeds = workload_covered(n, 50LL * threads);
-        for (int beg = 0; beg < seeds; beg++)
-            if (g.out[beg].size() >= 2) mst_pop(g, beg, mopp_scaled, was);
-    }
+    // seed coverage: WorkloadManager blocks=50*T (ref :375)
+    mst_pass(g, workload_covered(n, 50LL * threads), mopp_scaled, threads);
     mark_isolated(g, valid);
     g.retain_min_offset();
 
@@ -320,6 +460,24 @@ int64_t alga_simplify_graph_old(
     // canonical (src, offset, dst) exit order — twin-parity with the Python
     // path (see simplify.simplify_graph_old), matching the reference's
     // immediate post-simplifier sort (retainOnlySmallestOffset, main.cpp:416)
+    g.sort_by_offset();
+    return g.dump(out_src, out_dst, out_off);
+}
+
+// removeShortParallelPaths alone (ref GraphSimplifier.cpp:351-518), for
+// orchestrators that run the other passes elsewhere (the sharded device
+// simplifier keeps triangles/retain/dangling on the mesh and calls this
+// for the one pointer-surgery pass that stays on the host).  Input edges
+// must already be in the caller's canonical order; output is the exact
+// post-pass adjacency dump in (src, offset, dst) sorted order.
+int64_t alga_mst_pass(
+    int32_t n, int64_t ne, const int32_t* src, const int32_t* dst,
+    const int32_t* off, int32_t mopp_scaled, int32_t threads,
+    int32_t* out_src, int32_t* out_dst, int32_t* out_off) {
+    Adj g;
+    g.init(n, ne, src, dst, off);
+    g.sort_by_offset();
+    mst_pass(g, workload_covered(n, 50LL * threads), mopp_scaled, threads);
     g.sort_by_offset();
     return g.dump(out_src, out_dst, out_off);
 }
@@ -447,7 +605,8 @@ int64_t alga_contract_and_walk(
     int32_t use_paired, const int8_t* paired_offset, double avg_read_len,
     int32_t min_paired_connections, int32_t max_insert_size,
     int64_t max_contigs, int64_t cap_reads,
-    int64_t* ctg_indptr, int32_t* ctg_reads, int32_t* ctg_offs) {
+    int64_t* ctg_indptr, int32_t* ctg_reads, int32_t* ctg_offs,
+    int32_t threads) {
 
     CGraph cg;
     {
@@ -460,25 +619,13 @@ int64_t alga_contract_and_walk(
     for (int x = 0; x < 2; x++) {
         cg.g.retain_min_offset();
         while (true) {   // simplifyGraph (ref GS.cpp:49-82)
-            {   // triangles on the contracted graph (collect then remove)
-                vector<pair<int,int>> to_remove;
-                std::unordered_map<int,int> dmap;
-                for (int i = 0; i < n; i++) {
-                    dmap.clear();
-                    for (auto& e1 : cg.g.out[i])
-                        for (auto& e2 : cg.g.out[e1.first]) {
-                            int b = e2.first, w = e1.second + e2.second;
-                            auto it = dmap.find(b);
-                            if (it == dmap.end() || w < it->second) dmap[b] = w;
-                        }
-                    for (auto& e : cg.g.out[i]) {
-                        if (e.second > mopp) continue;
-                        auto it = dmap.find(e.first);
-                        if (it != dmap.end() && it->second == e.second)
-                            to_remove.push_back({i, e.first});
-                    }
-                }
-                for (auto& pr : to_remove) cg.remove_edge(pr.first, pr.second);
+            {   // triangles on the contracted graph: parallel collection,
+                // sequential removal in node-id order (same as cut_triangles
+                // but routed through cg.remove_edge to erase contracted
+                // paths, ref Graph.cpp:98-102)
+                auto bufs = collect_triangles(cg.g, mopp, threads);
+                for (auto& buf : bufs)
+                    for (auto& pr : buf) cg.remove_edge(pr.first, pr.second);
             }
             if (cg.contract_path_nodes(mopp) == 0) break;
         }
@@ -486,101 +633,134 @@ int64_t alga_contract_and_walk(
     cg.g.retain_min_offset();
 
     // --- reliable predecessors (ref ContigCreatorSinglePath.cpp:268-415) ---
+    // read-only on the contracted graph; parallel over node ranges with
+    // per-thread maps (key sets are disjoint — one key per node a), merged
+    // after the join (reference runs this under P1, CCSP.cpp:292-300)
     std::unordered_map<int, std::unordered_set<int>> reliable;
     if (use_paired) {
         int min_edge_len = (int)avg_read_len * 2;
         Adj grev = cg.g.reversed();
-        for (int a = 0; a < n; a++) {
-            if (grev.out[a].empty()) continue;
-            if (!(cg.g.out[a].size() == 1 && cg.g.out[a][0].second >= min_edge_len
-                  && grev.out[a].size() >= 1)) continue;
-            int b = cg.g.out[a][0].first;
-            auto edge_ab = cg.path(a, b);
-            std::unordered_set<int> beg_of_ab;
-            {
-                int d = 0;
-                for (auto& pr : edge_ab) {
-                    if (d > max_insert_size) break;
-                    d += pr.second;
-                    beg_of_ab.insert(pr.first);
+        int T = resolve_threads(threads);
+        vector<std::unordered_map<int, std::unordered_set<int>>> rel_bufs(T);
+        parallel_ranges(n, threads, [&](int t, int64_t a0, int64_t a1) {
+            auto& rel = rel_bufs[t];
+            for (int64_t a = a0; a < a1; a++) {
+                if (grev.out[a].empty()) continue;
+                if (!(cg.g.out[a].size() == 1
+                      && cg.g.out[a][0].second >= min_edge_len
+                      && grev.out[a].size() >= 1)) continue;
+                int b = cg.g.out[a][0].first;
+                auto edge_ab = cg.path((int)a, b);
+                std::unordered_set<int> beg_of_ab;
+                {
+                    int d = 0;
+                    for (auto& pr : edge_ab) {
+                        if (d > max_insert_size) break;
+                        d += pr.second;
+                        beg_of_ab.insert(pr.first);
+                    }
+                }
+                for (auto& pd : grev.out[a]) {
+                    if (pd.second < min_edge_len) continue;
+                    auto edge_da = cg.path(pd.first, (int)a);
+                    int d = 0, cnt = 0;
+                    for (auto it = edge_da.rbegin(); it != edge_da.rend(); ++it) {
+                        if (d > max_insert_size) break;
+                        d += it->second;
+                        int x = it->first;
+                        int8_t po = paired_offset[x];
+                        int paired = x + (po == 1 ? 2 : po == 2 ? -2 : 0);
+                        int paired_rc = paired ^ 1;
+                        if (beg_of_ab.count(paired) || beg_of_ab.count(paired_rc)) cnt++;
+                    }
+                    if (cnt >= min_paired_connections)
+                        rel[(int)a].insert(pd.first);
                 }
             }
-            for (auto& pd : grev.out[a]) {
-                if (pd.second < min_edge_len) continue;
-                auto edge_da = cg.path(pd.first, a);
-                int d = 0, cnt = 0;
-                for (auto it = edge_da.rbegin(); it != edge_da.rend(); ++it) {
-                    if (d > max_insert_size) break;
-                    d += it->second;
-                    int x = it->first;
-                    int8_t po = paired_offset[x];
-                    int paired = x + (po == 1 ? 2 : po == 2 ? -2 : 0);
-                    int paired_rc = paired ^ 1;
-                    if (beg_of_ab.count(paired) || beg_of_ab.count(paired_rc)) cnt++;
-                }
-                if (cnt >= min_paired_connections) reliable[a].insert(pd.first);
-            }
-        }
+        });
+        for (auto& rel : rel_bufs)
+            for (auto& kv : rel) reliable[kv.first] = std::move(kv.second);
     }
 
     // --- walk (ref ContigCreatorSinglePath.cpp:21-210) ---------------------
-    int64_t nc = 0;
-    int64_t rpos = 0;
-    ctg_indptr[0] = 0;
-    for (int beg = 0; beg < n; beg++) {
-        if (!valid[beg] || cg.g.out[beg].empty()) continue;
-        for (auto& e0 : cg.g.out[beg]) {
-            vector<pair<int,int>> reads_in;   // (read, offset)
-            reads_in.push_back({beg, -1});
-            std::unordered_set<int> was{beg};
-            int predecessor = beg;
-            int p = e0.first;
-            int64_t length_so_far = 0;
-            auto expand = [&](int a, int b) {
-                for (auto& hop : cg.path(a, b)) {
-                    reads_in.push_back(hop);
-                    length_so_far += hop.second;
-                }
-            };
-            expand(beg, p);
-            was.insert(p);
-
-            auto candidates = [&](int pred, int node) -> vector<pair<int,int>> {
-                auto it = reliable.find(node);
-                if (it != reliable.end() && it->second.count(pred))
-                    return cg.g.out[node];
-                return {};
-            };
-
-            auto cands = candidates(predecessor, p);
-            size_t can_be_next = cands.size();
-            if (can_be_next == 1) {
-                int nxt = cands[0].first;
-                expand(p, nxt);
-                predecessor = p; p = nxt;
-            }
-            while (can_be_next == 1) {
+    // read-only on cg + reliable; parallel over contiguous seed ranges with
+    // per-thread buffers concatenated in range order, so contig order is
+    // identical to the sequential walk (ref walks via futures per node
+    // range, CCSP.cpp:60-100 — same split shape)
+    struct WalkBuf {
+        vector<int64_t> sizes;           // reads per emitted contig
+        vector<pair<int,int>> reads;     // flattened (read, offset)
+    };
+    int T = resolve_threads(threads);
+    vector<WalkBuf> wbufs(T);
+    parallel_ranges(n, threads, [&](int t, int64_t b0, int64_t b1) {
+        auto& wb = wbufs[t];
+        for (int64_t beg = b0; beg < b1; beg++) {
+            if (!valid[beg] || cg.g.out[beg].empty()) continue;
+            for (auto& e0 : cg.g.out[beg]) {
+                vector<pair<int,int>> reads_in;   // (read, offset)
+                reads_in.push_back({(int)beg, -1});
+                std::unordered_set<int> was{(int)beg};
+                int predecessor = (int)beg;
+                int p = e0.first;
+                int64_t length_so_far = 0;
+                auto expand = [&](int a, int b) {
+                    for (auto& hop : cg.path(a, b)) {
+                        reads_in.push_back(hop);
+                        length_so_far += hop.second;
+                    }
+                };
+                expand((int)beg, p);
                 was.insert(p);
-                cands = candidates(predecessor, p);
-                can_be_next = cands.size();
+
+                auto candidates = [&](int pred, int node) -> const vector<pair<int,int>>* {
+                    auto it = reliable.find(node);
+                    if (it != reliable.end() && it->second.count(pred))
+                        return &cg.g.out[node];
+                    return nullptr;
+                };
+
+                auto cands = candidates(predecessor, p);
+                size_t can_be_next = cands ? cands->size() : 0;
                 if (can_be_next == 1) {
-                    int nxt = cands[0].first;
+                    int nxt = (*cands)[0].first;
                     expand(p, nxt);
                     predecessor = p; p = nxt;
                 }
-                if (p == -1 || was.count(p)) break;
-            }
-            int64_t total_len = length_so_far + read_lengths[p];
-            if (total_len >= min_output_length) {
-                if (nc >= max_contigs || rpos + (int64_t)reads_in.size() > cap_reads)
-                    return -1;
-                for (auto& pr : reads_in) {
-                    ctg_reads[rpos] = pr.first;
-                    ctg_offs[rpos] = pr.second;
-                    rpos++;
+                while (can_be_next == 1) {
+                    was.insert(p);
+                    cands = candidates(predecessor, p);
+                    can_be_next = cands ? cands->size() : 0;
+                    if (can_be_next == 1) {
+                        int nxt = (*cands)[0].first;
+                        expand(p, nxt);
+                        predecessor = p; p = nxt;
+                    }
+                    if (p == -1 || was.count(p)) break;
                 }
-                ctg_indptr[++nc] = rpos;
+                int64_t total_len = length_so_far + read_lengths[p];
+                if (total_len >= min_output_length) {
+                    wb.sizes.push_back((int64_t)reads_in.size());
+                    wb.reads.insert(wb.reads.end(), reads_in.begin(),
+                                    reads_in.end());
+                }
             }
+        }
+    });
+
+    int64_t nc = 0;
+    int64_t rpos = 0;
+    ctg_indptr[0] = 0;
+    for (auto& wb : wbufs) {
+        size_t rp = 0;
+        for (int64_t sz : wb.sizes) {
+            if (nc >= max_contigs || rpos + sz > cap_reads) return -1;
+            for (int64_t j = 0; j < sz; j++, rp++) {
+                ctg_reads[rpos] = wb.reads[rp].first;
+                ctg_offs[rpos] = wb.reads[rp].second;
+                rpos++;
+            }
+            ctg_indptr[++nc] = rpos;
         }
     }
     return nc;
@@ -594,6 +774,62 @@ int64_t alga_contract_and_walk(
 // base code), then trim both ends while support <= 3.
 
 extern "C" {
+
+// Packed-store variant: reads bases straight from the 2-bit packed words
+// (16 bases/uint32, little-endian pairs — ref Read.cpp:40-68) so the
+// caller never materializes the uint8[N, L] code matrix (the reference
+// streams per-read at ~25 B/100 bp, ref Read.cpp:40-68; this keeps the
+// rebuild's consensus at the same memory footprint).
+void alga_consensus_packed(
+    int64_t n_contigs, const int64_t* ctg_indptr,
+    const int32_t* ctg_reads, const int32_t* ctg_offs,
+    const uint32_t* packed, int64_t words, const int32_t* read_lengths,
+    const int64_t* ctg_col_base,
+    int32_t coverage_thr,
+    uint8_t* out_bases, int64_t* out_begin, int64_t* out_end,
+    int32_t nthreads) {
+
+    auto job = [&](int /*t*/, int64_t c0, int64_t c1) {
+        std::vector<int32_t> counts;
+        for (int64_t c = c0; c < c1; c++) {
+            int64_t col0 = ctg_col_base[c];
+            int64_t ncols = ctg_col_base[c + 1] - col0;
+            counts.assign((size_t)ncols * 4, 0);
+            int64_t start = 0;
+            for (int64_t e = ctg_indptr[c]; e < ctg_indptr[c + 1]; e++) {
+                int32_t rid = ctg_reads[e];
+                int32_t off = ctg_offs[e];
+                if (e > ctg_indptr[c]) start += off;
+                const uint32_t* row = packed + (int64_t)rid * words;
+                int64_t l = read_lengths[rid];
+                if (start + l > ncols) l = ncols - start;
+                int32_t* cc = counts.data() + (size_t)start * 4;
+                for (int64_t j = 0; j < l; j++) {
+                    uint32_t b = (row[j >> 4] >> (2 * (j & 15))) & 3u;
+                    cc[j * 4 + b]++;
+                }
+            }
+            int64_t p = 0, q = ncols - 1;
+            for (int64_t j = 0; j < ncols; j++) {
+                const int32_t* cj = counts.data() + (size_t)j * 4;
+                int best = 0;
+                for (int b = 1; b < 4; b++) if (cj[b] > cj[best]) best = b;
+                out_bases[col0 + j] = (uint8_t)best;
+            }
+            auto freq = [&](int64_t j) {
+                const int32_t* cj = counts.data() + (size_t)j * 4;
+                int32_t m = cj[0];
+                for (int b = 1; b < 4; b++) if (cj[b] > m) m = cj[b];
+                return m;
+            };
+            while (p <= q && freq(p) <= coverage_thr) p++;
+            while (p <= q && freq(q) <= coverage_thr) q--;
+            out_begin[c] = p;
+            out_end[c] = q + 1;
+        }
+    };
+    parallel_ranges(n_contigs, nthreads, job, 64);
+}
 
 // contigs given as flattened read lists; codes is the unpacked base matrix.
 // Outputs, per contig: out_begin/out_end (kept column range, begin>end if

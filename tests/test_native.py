@@ -97,6 +97,84 @@ def test_native_contract_walk_matches_python(seed):
            [[(int(r), int(o)) for r, o in lst] for lst in p_lists]
 
 
+def _forked_chain_graph(rng, n, nchains=200):
+    """Chain-heavy graph with forks, short parallel paths and dangling tips
+    — enough seeds (>64 forks, >2048 nodes) to cross the native engine's
+    parallel-execution thresholds."""
+    edges = {}
+
+    def add(a, b, w):
+        if a != b:
+            edges.setdefault((int(a), int(b)), int(w))
+
+    nodes = np.arange(n)
+    rng.shuffle(nodes)
+    pos = 0
+    for _ in range(nchains):
+        L = int(rng.integers(4, 24))
+        chain = nodes[pos : pos + L]
+        pos += L
+        if len(chain) < 3 or pos >= n:
+            break
+        for a, b in zip(chain, chain[1:]):
+            add(a, b, rng.integers(3, 15))
+        # fork with a dangling tip + a parallel path (bubble)
+        if rng.random() < 0.7 and len(chain) >= 5:
+            mid = chain[len(chain) // 2]
+            tip = nodes[(pos + int(rng.integers(0, n - pos - 1))) % n]
+            add(mid, tip, rng.integers(3, 15))
+            add(chain[0], chain[2], rng.integers(5, 30))
+    # sparse noise (real overlap graphs are chain-like; a dense random
+    # graph would be a small world whose bounded-BFS neighborhoods cover
+    # everything and time out both execution modes)
+    for a, b in rng.integers(0, n, (n // 4, 2)):
+        add(a, b, rng.integers(10, 40))
+    return [(a, b, w) for (a, b), w in edges.items()]
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_native_simplify_parallel_matches_sequential(seed, monkeypatch):
+    """Threaded execution (waves / parallel collection) must be
+    bit-identical to forced-sequential execution at the SAME `threads`
+    value (the value also feeds the WorkloadManager coverage quirks, so
+    only the execution schedule may differ)."""
+    rng = np.random.default_rng(1000 + seed)
+    n = 30000
+    edges = _forked_chain_graph(rng, n)
+    g = OverlapGraph.from_edges(n, edges)
+
+    monkeypatch.setenv("ALGA_NATIVE_SEQ", "1")
+    bs = _Batch(n)
+    gs = native_mod.simplify_graph_old(g.copy(), bs, 60, 60, threads=8)
+    monkeypatch.delenv("ALGA_NATIVE_SEQ")
+    bp = _Batch(n)
+    gp = native_mod.simplify_graph_old(g.copy(), bp, 60, 60, threads=8)
+
+    np.testing.assert_array_equal(gs.src, gp.src)
+    np.testing.assert_array_equal(gs.dst, gp.dst)
+    np.testing.assert_array_equal(gs.offset, gp.offset)
+    np.testing.assert_array_equal(bs.valid, bp.valid)
+
+
+def test_native_walk_parallel_matches_sequential(monkeypatch):
+    rng = np.random.default_rng(77)
+    n = 12000
+    edges = _forked_chain_graph(rng, n, nchains=400)
+    g = OverlapGraph.from_edges(n, edges)
+    batch = _Batch(n)
+    batch.lengths = np.full(n, 100, dtype=np.int32)
+
+    monkeypatch.setenv("ALGA_NATIVE_SEQ", "1")
+    seq_lists = native_mod.contract_and_walk(
+        g.copy(), batch, mopp=250, min_output_length=150, paired=False,
+        min_paired_connections=5, max_insert_size=1000, threads=8)
+    monkeypatch.delenv("ALGA_NATIVE_SEQ")
+    par_lists = native_mod.contract_and_walk(
+        g.copy(), batch, mopp=250, min_output_length=150, paired=False,
+        min_paired_connections=5, max_insert_size=1000, threads=8)
+    assert seq_lists == par_lists
+
+
 def test_native_full_pipeline_equivalence():
     """Assemble the same dataset with native on/off; outputs must be equal."""
     import sys
@@ -134,6 +212,12 @@ def test_native_consensus_matches_python(rng):
         correct_snips(c, batch, codes)
     native_mod.consensus_native(contigs, batch, codes, 3)
     assert [c.seq for c in contigs] == [c.seq for c in ref]
+    # packed-store variant (memory diet): no codes matrix at all
+    packed_contigs = [copy.deepcopy(c) for c in ref]
+    for c in packed_contigs:
+        c.seq = ""
+    native_mod.consensus_native(packed_contigs, batch, None, 3, threads=4)
+    assert [c.seq for c in packed_contigs] == [c.seq for c in ref]
 
 
 def test_native_preprocess_pack_matches_python(rng):
