@@ -357,8 +357,28 @@ def pkb_supplement(adj_add, codes, lengths, read_lens, cfg,
                     rid_s[pi[sel]], rid_s[pj[sel]],
                     ind_s[pi[sel]] - ind_s[pj[sel]],
                     codes, packed, read_lens, cfg, min_device_batch)
-            _replay_runs(adj_add, rid_s, ind_s, starts, ends, pi, pj, ok, can)
+            _replay_runs_auto(adj_add, rid_s, ind_s, starts, ends, pi, pj,
+                              ok, can)
         priorities = priorities[1:] + priorities[:1]   # rotate (ref LI.cpp:25)
+
+
+def _replay_runs_auto(adj_add, rid_s, ind_s, starts, ends, pi, pj,
+                      pass_static, pair_can):
+    """Route the branch-marker replay to the native engine when the
+    adapter exposes the sorted base-key arrays (SupplementAdj); the Python
+    loop (`_replay_runs`, the oracle) otherwise.  The native pass removes
+    the dominant error-path host cost: per-pair adjacency searchsorted +
+    the Python bitmask loop (ref PKB.cpp:16-98)."""
+    from alga_tpu import native as _native
+    if (_native.available() and hasattr(adj_add, "_keys")
+            and hasattr(adj_add, "overlay")):
+        overlay = _native.pkb_replay(
+            rid_s, ind_s, starts, ends, pi, pj, pass_static, pair_can,
+            adj_add.n, adj_add._keys, adj_add._offs, adj_add.overlay)
+        adj_add.overlay = overlay
+        return
+    _replay_runs(adj_add, rid_s, ind_s, starts, ends, pi, pj, pass_static,
+                 pair_can)
 
 
 def pkb_supplement_ref(adj_add, codes, lengths, read_lens, cfg,

@@ -89,6 +89,17 @@ def get_lib():
         ctypes.c_int64, ctypes.c_int64,
         i64p, i32p, i32p, ctypes.c_int32]
 
+    lib.alga_pkb_replay.restype = ctypes.c_int64
+    lib.alga_pkb_replay.argtypes = [
+        ctypes.c_int64, i32p,
+        ctypes.c_int64, i32p, i32p, u8p, u8p,
+        i64p,
+        ctypes.c_int64, i64p, i64p,
+        ctypes.c_int64,
+        i64p, i32p, ctypes.c_int64,
+        i64p, i32p, ctypes.c_int64,
+        i64p, i32p]
+
     lib.alga_correct_pass.restype = ctypes.c_int64
     lib.alga_correct_pass.argtypes = [
         u8p, ctypes.c_int64, ctypes.c_int64, i64p, u8p, i64p, i64p,
@@ -152,6 +163,42 @@ def fastx_parse(buf: np.ndarray, fmt: str, nthreads: int = 0):
         lib.alga_fastx_fill(buf, len(buf), fmt_i, lpad, mat, lens, n,
                             meta, int(nchunks[0]))
     return mat, lens
+
+
+def pkb_replay(rid_s, ind_s, starts, ends, pi, pj, pass_static, pair_can,
+               n: int, base_keys, base_offs, overlay: dict) -> dict:
+    """Native twin of supplement._replay_runs: sequential PKB branch-marker
+    replay over equal-hash runs with precomputed alignment verdicts.
+    Returns the UPDATED overlay dict (input overlay merged with the edges
+    added by the replay, min-offset semantics)."""
+    lib = get_lib()
+    nrec = len(rid_s)
+    pi = np.asarray(pi)
+    counts = np.bincount(pi, minlength=nrec).astype(np.int64)
+    cum = np.zeros(nrec + 1, dtype=np.int64)
+    np.cumsum(counts, out=cum[1:])
+    ind_s = np.asarray(ind_s)
+    pj = np.ascontiguousarray(pj, dtype=np.int32)
+    off_all = np.ascontiguousarray(ind_s[pi] - ind_s[np.asarray(pj)],
+                                   dtype=np.int32)
+    rid32 = np.ascontiguousarray(rid_s, dtype=np.int32)
+    okv = np.ascontiguousarray(np.asarray(pass_static, bool).view(np.uint8))
+    canv = np.ascontiguousarray(np.asarray(pair_can, bool).view(np.uint8))
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    ends = np.ascontiguousarray(ends, dtype=np.int64)
+    base_keys = np.ascontiguousarray(base_keys, dtype=np.int64)
+    base_offs = np.ascontiguousarray(base_offs, dtype=np.int32)
+    nin = len(overlay)
+    in_keys = np.fromiter(overlay.keys(), dtype=np.int64, count=nin)
+    in_offs = np.fromiter(overlay.values(), dtype=np.int32, count=nin)
+    cap = nin + len(pj) + 1
+    out_keys = np.empty(cap, dtype=np.int64)
+    out_offs = np.empty(cap, dtype=np.int32)
+    m = int(lib.alga_pkb_replay(
+        nrec, rid32, len(pj), pj, off_all, okv, canv, cum,
+        len(starts), starts, ends, n, base_keys, base_offs, len(base_keys),
+        in_keys, in_offs, nin, out_keys, out_offs))
+    return dict(zip(out_keys[:m].tolist(), out_offs[:m].tolist()))
 
 
 def correct_pass(codes: np.ndarray, lengths, valid, spec_b, spec_s,

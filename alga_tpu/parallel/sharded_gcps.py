@@ -1,7 +1,7 @@
 """Fully de-replicated multi-device GCPS: all_to_all key routing + remote
 row fetch + sharded post-join.
 
-The round-1 sharded sweep (parallel/sharded_sweep.py) sharded only candidate
+The round-1 sharded sweep (removed in round 3) sharded only candidate
 generation and replicated the whole packed read store on every device —
 per-device memory O(N).  This module is the real scale-out design
 (SURVEY.md §2.10): per-device memory is O(N/d) end to end.

@@ -22,11 +22,27 @@ from alga_tpu.graph.contract import ContractedGraph, simplify_contract
 from alga_tpu.io import fastx, output
 from alga_tpu.utils.timers import (PhaseTimer, STREAMING, contig_stats,
                                     counters_report, emit_metrics,
-                                    memory_peaks, reset_counters)
+                                    memory_peaks, reset_counters,
+                                    write_progress)
 
 
 def _log(*a):
     print(*a, file=sys.stderr)
+
+
+# assembly-level progress (ref MyUtils::writeProgress bars, called between
+# every major stage of main.cpp): one tick per pipeline phase
+_PIPELINE_STEPS = 10
+
+
+class _Progress:
+    def __init__(self, total: int):
+        self.total = total
+        self.done = 0
+
+    def tick(self, label: str):
+        self.done = min(self.done + 1, self.total)
+        write_progress(self.done, self.total, f"assembly:{label}")
 
 
 @dataclass
@@ -199,6 +215,7 @@ def assemble(cfg: AssemblyConfig,
     timers = PhaseTimer()
     timers.start("total")
     reset_counters()
+    prog = _Progress(_PIPELINE_STEPS)
 
     # --- input ------------------------------------------------------------
     with timers.phase("input_reader"):
@@ -218,6 +235,7 @@ def assemble(cfg: AssemblyConfig,
         else:
             paired_input = bool(file2_seqs)
             batch = fastx.build_read_batch(file1_seqs, file2_seqs, **pre_kw)
+    prog.tick("input")
     _log(f"{batch.count_valid()} valid reads of {len(batch)} slots")
     # ingest statistics (ref InputReader.cpp:92-136 read-length/N stats)
     _lens = np.asarray(batch.lengths)[batch.valid]
@@ -259,10 +277,12 @@ def assemble(cfg: AssemblyConfig,
     with timers.phase("read_preprocess"):
         marked = fastx.mark_prefix_reads(batch)
         batch.valid &= ~marked
+    prog.tick("preprocess")
     _log(f"{int(marked.sum())} prefix/duplicate reads removed")
 
     # --- remap to dense ids -------------------------------------------------
     batch = remap_paired_offsets(batch, paired=paired_input)
+    prog.tick("remap")
     _log(f"{len(batch)} reads after remap")
 
     # --- overlap graph (with optional checkpoint, ref main.cpp:242-296) -----
@@ -278,6 +298,8 @@ def assemble(cfg: AssemblyConfig,
         if tcfg.serialize_graph:
             ser.write_reference_graph(g, ck_before)
             _log(f"serialized graph to {ck_before}")
+
+    prog.tick("graph")
 
     # --- error-tolerant LI/PKB supplement (ref main.cpp:300-355) ------------
     if tcfg.use_supplement:
@@ -314,6 +336,7 @@ def assemble(cfg: AssemblyConfig,
                     threads=tcfg.threads)
         if tcfg.serialize_graph:
             ser.write_reference_graph(g, ck_after)
+    prog.tick("simplify")
     _log(f"post-simplifier degree stats: {g.degree_stats()}")
 
     if use_native:
@@ -344,21 +367,26 @@ def assemble(cfg: AssemblyConfig,
                 max_insert_size=tcfg.max_length_of_insert_size)
             contigs = walk_mod.get_all_contigs(
                 cg, batch, tcfg.contig_min_output_length, reliable)
+    prog.tick("walk")
     _log(f"{len(contigs)} contigs before filtering")
 
     with timers.phase("consensus"):
         consensus_mod.correct_all(contigs, batch)
 
+    prog.tick("consensus")
     with timers.phase("filter"):
         contigs = output.filter_contigs(
             contigs, len(batch), tcfg.contig_min_output_length,
             tcfg.new_reads_per_contig_percentage)
+    prog.tick("filter")
     _log(f"{len(contigs)} contigs after filtering")
 
     with timers.phase("trim"):
         output.trim_contigs(contigs, threshold=tcfg.trim_threshold,
                             read_cap=tcfg.read_length_cap)
 
+    prog.tick("trim")
+    prog.tick("done")
     timers.stop("total")
     stats = contig_stats([len(c) for c in contigs])
     stats["phase_seconds"] = timers.report()

@@ -96,6 +96,11 @@ def sample_memory(tag: str = "", stream=sys.stderr, log: bool = True) -> dict:
         stats = jax.local_devices()[0].memory_stats()
         if stats:
             device_mb = stats.get("bytes_in_use", 0) / 1e6
+        if not device_mb:
+            # backends without memory_stats (e.g. the tunneled axon TPU
+            # plugin): account live device buffers ourselves so device
+            # memory is still observed on the actual target
+            device_mb = sum(int(a.nbytes) for a in jax.live_arrays()) / 1e6
     except Exception:
         pass
     _PEAK["rss_mb"] = max(_PEAK["rss_mb"], rss_mb)

@@ -1397,6 +1397,102 @@ void alga_fastx_fill(const uint8_t* buf, int64_t size, int32_t fmt,
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
+// PKB branch-marker replay (ref GraphCreatorPairwiseKmerBranch.cpp:16-98):
+// the sequential per-run loop that walks candidate pairs of an equal-hash
+// k-mer run in canonical order, skipping pairs already reachable through
+// edges known so far (the `branchMarkers` Bitset matrix, ref :20-27,67-83)
+// and adding min-offset edges.  Alignment verdicts arrive precomputed
+// (pair_can — the device ACLER/ACLCS batch), so this is pure bookkeeping:
+// a dynamic bitset closure per run + adjacency lookups against the sorted
+// base-key array and an overlay hash map.  Semantics identical to
+// alga_tpu/graph/supplement.py::_replay_runs (the Python oracle).
+
+extern "C" {
+
+// Returns the number of overlay entries written to out_keys/out_offs
+// (capacity must be >= p_in + npairs).  Overlay min-merge semantics match
+// SupplementAdj.add_min; get_offset = min(base, overlay) when both exist.
+int64_t alga_pkb_replay(
+    int64_t nrec, const int32_t* rid_s,
+    int64_t npairs, const int32_t* pj, const int32_t* off_all,
+    const uint8_t* ok, const uint8_t* can,
+    const int64_t* cum,                      // [nrec + 1]
+    int64_t nruns, const int64_t* starts, const int64_t* ends,
+    int64_t n,                               // node count (key = a*n + b)
+    const int64_t* base_keys, const int32_t* base_offs, int64_t nbase,
+    const int64_t* in_keys, const int32_t* in_offs, int64_t nin,
+    int64_t* out_keys, int32_t* out_offs) {
+
+    std::unordered_map<int64_t, int32_t> overlay;
+    overlay.reserve((size_t)(nin + npairs / 4));
+    for (int64_t i = 0; i < nin; i++) overlay[in_keys[i]] = in_offs[i];
+
+    const int32_t NONE = INT32_MIN;
+    auto get_offset = [&](int64_t a, int64_t b) -> int32_t {
+        int64_t k = a * n + b;
+        int32_t cur = NONE;
+        auto it = overlay.find(k);
+        if (it != overlay.end()) cur = it->second;
+        const int64_t* lo = std::lower_bound(base_keys, base_keys + nbase, k);
+        if (lo != base_keys + nbase && *lo == k) {
+            int32_t base = base_offs[lo - base_keys];
+            return (cur == NONE || base < cur) ? base : cur;
+        }
+        return cur;
+    };
+    auto add_min = [&](int64_t a, int64_t b, int32_t o) {
+        int64_t k = a * n + b;
+        auto it = overlay.find(k);
+        if (it == overlay.end() || o < it->second) overlay[k] = o;
+    };
+
+    std::vector<uint64_t> reach;   // (run_len x blocks) bitset, reused
+    for (int64_t r = 0; r < nruns; r++) {
+        int64_t s = starts[r], e = ends[r];
+        if (cum[e] == cum[s]) continue;
+        int64_t len = e - s;
+        int64_t blocks = (len + 63) >> 6;
+        reach.assign((size_t)(len * blocks), 0);
+        for (int64_t gi = e - 1; gi >= s; gi--) {
+            int64_t p0 = cum[gi], p1 = cum[gi + 1];
+            if (p0 == p1) continue;
+            int64_t i_local = gi - s;
+            uint64_t* ri = reach.data() + i_local * blocks;
+            int64_t id1 = rid_s[gi];
+            for (int64_t idx = p0; idx < p1; idx++) {
+                if (!ok[idx]) continue;
+                int64_t j_local = (int64_t)pj[idx] - s;
+                if ((ri[j_local >> 6] >> (j_local & 63)) & 1) continue;
+                int64_t id2 = rid_s[pj[idx]];
+                int32_t o = off_all[idx];
+                int32_t cur = get_offset(id1, id2);
+                if (cur == NONE || cur > o) {
+                    if (can[idx]) {
+                        add_min(id1, id2, o);
+                        cur = o;
+                    }
+                }
+                if (cur != NONE) {
+                    ri[j_local >> 6] |= 1ull << (j_local & 63);
+                    const uint64_t* rj = reach.data() + j_local * blocks;
+                    for (int64_t b = 0; b < blocks; b++) ri[b] |= rj[b];
+                }
+            }
+        }
+    }
+
+    int64_t m = 0;
+    for (auto& kv : overlay) {
+        out_keys[m] = kv.first;
+        out_offs[m] = kv.second;
+        m++;
+    }
+    return m;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
 // Read-corrector fix-up pass (ref src/Corrector/ReadCorrector.cpp:188-294,
 // applyCorrectionToRead): the per-read sequential rolling-hash loop with
 // spectrum lookups, parallel over reads (each read is independent; the

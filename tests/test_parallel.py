@@ -78,44 +78,3 @@ def test_graft_entry_multichip():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
-
-
-def test_sharded_sweep_matches_host(mesh8, rng):
-    """Full sharded match extraction == single-device host join."""
-    from alga_tpu.core import packing as pk
-    from alga_tpu.graph import prefsuf
-    from alga_tpu.parallel.sharded_sweep import find_exact_overlaps_sharded
-    import sys
-    sys.path.insert(0, "/root/repo/tests")
-    from simulate import random_genome
-
-    core = random_genome(rng, 60)
-    g = (random_genome(rng, 200) + core + random_genome(rng, 150)
-         + core + random_genome(rng, 200))
-    seqs = [g[i:i+45] for i in range(0, len(g) - 45, 3)]
-    packed, lengths = pk.pack_strings(seqs)
-    m1 = prefsuf.find_exact_overlaps(packed, lengths, 15, 500)
-    m2 = find_exact_overlaps_sharded(mesh8, packed, lengths, 15, 500)
-    s1 = set(zip(m1.src.tolist(), m1.dst.tolist(), m1.ell.tolist()))
-    s2 = set(zip(m2.src.tolist(), m2.dst.tolist(), m2.ell.tolist()))
-    assert s1 == s2
-
-
-def test_sharded_full_assembly_equivalence(mesh8, rng):
-    """Sharded sweep feeding the full pipeline produces the exact same
-    graph as the single-device path."""
-    from alga_tpu.core import packing as pk
-    from alga_tpu.graph import prefsuf
-    from alga_tpu.parallel.sharded_sweep import find_exact_overlaps_sharded
-    import sys
-    sys.path.insert(0, "/root/repo/tests")
-    from simulate import random_genome
-
-    g = random_genome(rng, 800)
-    seqs = [g[i:i+50] for i in range(0, len(g) - 50, 4)]
-    packed, lengths = pk.pack_strings(seqs)
-    n = len(seqs)
-    m_sh = find_exact_overlaps_sharded(mesh8, packed, lengths, 20, 500)
-    g1 = prefsuf.build_gcps_graph(packed, lengths, n, 20, 500, 35, matches=m_sh)
-    g2 = prefsuf.build_gcps_graph(packed, lengths, n, 20, 500, 35)
-    assert g1.edge_set() == g2.edge_set()
