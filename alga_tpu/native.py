@@ -113,6 +113,10 @@ def get_lib():
     lib.alga_fastx_fill.argtypes = [
         u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int64, u8p, i64p,
         ctypes.c_int64, i64p, ctypes.c_int64]
+    lib.alga_fastx_fill_range.restype = None
+    lib.alga_fastx_fill_range.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int64, u8p, i64p,
+        ctypes.c_int64, ctypes.c_int64, i64p, ctypes.c_int64]
     _lib = lib
     return lib
 
@@ -140,6 +144,36 @@ def preprocess_pack(raw, raw_lens, *, trim_left: int, trim_right: int,
 
 
 _FX_FMT = {"my_input": 0, "fasta": 1, "fastq": 2}
+
+
+def fastx_scan(buf: np.ndarray, fmt: str, nthreads: int = 0):
+    """Pass-1 parallel scan only: (record count, max record length, meta,
+    nchunks) — cheap (line counting), used by every process of a
+    multi-host ingest to agree on the global record layout."""
+    lib = get_lib()
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    maxlen = np.zeros(1, dtype=np.int64)
+    cap = max(256, (os.cpu_count() or 1) * 4)
+    meta = np.zeros(3 * cap, dtype=np.int64)
+    nchunks = np.zeros(1, dtype=np.int64)
+    n = int(lib.alga_fastx_scan(buf, len(buf), _FX_FMT[fmt], maxlen, meta,
+                                cap, nchunks, nthreads))
+    return n, int(maxlen[0]), meta, int(nchunks[0])
+
+
+def fastx_fill_range(buf: np.ndarray, fmt: str, lpad: int,
+                     rec_lo: int, rec_hi: int, meta, nchunks: int):
+    """Pass-2 fill of records [rec_lo, rec_hi) into a dense byte matrix
+    (the per-process slice of a multi-host ingest)."""
+    lib = get_lib()
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    m = max(0, rec_hi - rec_lo)
+    mat = np.zeros((m, max(1, lpad)), dtype=np.uint8)
+    lens = np.zeros(m, dtype=np.int64)
+    if m:
+        lib.alga_fastx_fill_range(buf, len(buf), _FX_FMT[fmt], mat.shape[1],
+                                  mat, lens, rec_lo, rec_hi, meta, nchunks)
+    return mat, lens
 
 
 def fastx_parse(buf: np.ndarray, fmt: str, nthreads: int = 0):

@@ -1260,24 +1260,30 @@ static FxScan fx_scan_chunk(const uint8_t* buf, int64_t size, int fmt,
     return o;
 }
 
+// Fill records in [rec_lo, rec_hi) only; output row = rec - rec_lo.  The
+// per-process range fill of the multi-host ingest (each process parses the
+// whole byte range it scans anyway but WRITES only its own records).
 static void fx_fill_chunk(const uint8_t* buf, int64_t size, int fmt,
                           int64_t begin, int64_t end, int64_t lines_before,
                           int64_t recs_before, bool first_chunk,
                           int64_t lpad, uint8_t* out, int64_t* out_lens,
-                          int64_t n) {
+                          int64_t rec_lo, int64_t rec_hi) {
     int64_t p = begin;
     int64_t rec = recs_before;
+    auto write = [&](int64_t l, const uint8_t* src) {
+        if (rec >= rec_lo && rec < rec_hi) {
+            if (l > lpad) l = lpad;
+            memcpy(out + (rec - rec_lo) * lpad, src, (size_t)l);
+            out_lens[rec - rec_lo] = l;
+        }
+        rec++;
+    };
     if (fmt == 2) {
         int64_t line = lines_before;
         while (p < end) {
             int64_t q = fx_line_end(buf, size, p);
-            if ((line & 3) == 1 && rec < n) {
-                int64_t l = fx_cut_len(buf, p, q);
-                if (l > lpad) l = lpad;
-                memcpy(out + rec * lpad, buf + p, (size_t)l);
-                out_lens[rec] = l;
-                rec++;
-            }
+            if ((line & 3) == 1 && rec < rec_hi)
+                write(fx_cut_len(buf, p, q), buf + p);
             line++;
             p = q + 1;
         }
@@ -1285,12 +1291,8 @@ static void fx_fill_chunk(const uint8_t* buf, int64_t size, int fmt,
         while (p < end) {
             int64_t q = fx_line_end(buf, size, p);
             int64_t l = fx_cut_len(buf, p, q);
-            if (l > 0 && rec < n) {
-                if (l > lpad) l = lpad;
-                memcpy(out + rec * lpad, buf + p, (size_t)l);
-                out_lens[rec] = l;
-                rec++;
-            }
+            if (l > 0 && rec < rec_hi) write(l, buf + p);
+            else if (l > 0) rec++;
             p = q + 1;
         }
     } else {
@@ -1301,16 +1303,17 @@ static void fx_fill_chunk(const uint8_t* buf, int64_t size, int fmt,
             if (hdr || (lead && p == 0 && !hdr)) {
                 int64_t rp = hdr ? q + 1 : 0;
                 int64_t rl = 0;
+                bool in_range = rec >= rec_lo && rec < rec_hi;
                 bool any = fx_fasta_run(
                     buf, size, rp, [&](int64_t lp, int64_t l) {
                         if (rl + l > lpad) l = lpad - rl;
-                        if (l > 0 && rec < n)
-                            memcpy(out + rec * lpad + rl, buf + lp,
-                                   (size_t)l);
+                        if (l > 0 && in_range)
+                            memcpy(out + (rec - rec_lo) * lpad + rl,
+                                   buf + lp, (size_t)l);
                         rl += l;
                     });
-                if (any && rec < n) {
-                    out_lens[rec] = rl;
+                if (any) {
+                    if (in_range) out_lens[rec - rec_lo] = rl;
                     rec++;
                 }
             }
@@ -1377,21 +1380,32 @@ int64_t alga_fastx_scan(const uint8_t* buf, int64_t size, int32_t fmt,
     return recs;
 }
 
-// Pass 2: parallel fill of uint8[n, lpad] (zero-initialized by caller) +
-// lengths int64[n], using the metadata from alga_fastx_scan.
-void alga_fastx_fill(const uint8_t* buf, int64_t size, int32_t fmt,
-                     int64_t lpad, uint8_t* out, int64_t* out_lens,
-                     int64_t n, const int64_t* meta, int64_t nchunks) {
+// Pass 2: parallel fill of uint8[rec_hi - rec_lo, lpad] (zero-initialized
+// by caller) + lengths int64[rec_hi - rec_lo], using the metadata from
+// alga_fastx_scan.  [rec_lo, rec_hi) selects a record range — the whole
+// file for single-host ingest, this process's slice for multi-host.
+void alga_fastx_fill_range(const uint8_t* buf, int64_t size, int32_t fmt,
+                           int64_t lpad, uint8_t* out, int64_t* out_lens,
+                           int64_t rec_lo, int64_t rec_hi,
+                           const int64_t* meta, int64_t nchunks) {
     int C = (int)nchunks;
     vector<std::thread> ths;
     auto job = [&](int i) {
         int64_t end = i + 1 < C ? meta[3 * (i + 1)] : size;
         fx_fill_chunk(buf, size, fmt, meta[3 * i], end, meta[3 * i + 1],
-                      meta[3 * i + 2], i == 0, lpad, out, out_lens, n);
+                      meta[3 * i + 2], i == 0, lpad, out, out_lens,
+                      rec_lo, rec_hi);
     };
     for (int i = 1; i < C; i++) ths.emplace_back(job, i);
     job(0);
     for (auto& t : ths) t.join();
+}
+
+void alga_fastx_fill(const uint8_t* buf, int64_t size, int32_t fmt,
+                     int64_t lpad, uint8_t* out, int64_t* out_lens,
+                     int64_t n, const int64_t* meta, int64_t nchunks) {
+    alga_fastx_fill_range(buf, size, fmt, lpad, out, out_lens, 0, n,
+                          meta, nchunks);
 }
 
 }  // extern "C"

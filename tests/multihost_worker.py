@@ -47,6 +47,30 @@ def main() -> int:
         "multi-process sharded pipeline diverged from single-device graph"
     assert g_sharded.num_edges > 0
     print(f"proc {pid}: OK edges={g_sharded.num_edges}", flush=True)
+
+    # --- multi-host sharded ingest (SURVEY P7): each process fills only
+    # its own record slice; the gathered global batch must equal the
+    # single-process load_read_batch on the same files -------------------
+    f1 = os.environ.get("ALGA_TEST_INGEST_F1")
+    f2 = os.environ.get("ALGA_TEST_INGEST_F2") or None
+    if f1:
+        from jax.experimental import multihost_utils
+        from alga_tpu.io import fastx
+        from alga_tpu.io.multihost import load_read_batch_distributed
+
+        pk, ln, vd, nrows = load_read_batch_distributed(mesh, f1, f2)
+        pk_h = np.asarray(multihost_utils.process_allgather(pk, tiled=True))
+        ln_h = np.asarray(multihost_utils.process_allgather(ln, tiled=True))
+        vd_h = np.asarray(multihost_utils.process_allgather(vd, tiled=True))
+        ref = fastx.load_read_batch(f1, f2)
+        assert nrows == len(ref), (nrows, len(ref))
+        w = min(pk_h.shape[1], ref.packed.shape[1])
+        assert np.array_equal(pk_h[:nrows, :w], ref.packed[:, :w])
+        assert not pk_h[:nrows, w:].any() and not ref.packed[:, w:].any()
+        assert np.array_equal(ln_h[:nrows], ref.lengths)
+        assert np.array_equal(vd_h[:nrows], ref.valid)
+        assert not vd_h[nrows:].any()          # padding rows invalid
+        print(f"proc {pid}: INGEST OK rows={nrows}", flush=True)
     return 0
 
 

@@ -20,12 +20,26 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_sharded_gcps():
+def test_two_process_sharded_gcps(tmp_path):
+    # paired input files for the distributed-ingest leg of the worker
+    import numpy as np
+    rng = np.random.default_rng(5)
+    bases = "ACGT"
+    with open(tmp_path / "m1.fastq", "w") as fa, \
+         open(tmp_path / "m2.fastq", "w") as fb:
+        for i in range(211):   # odd count -> exercises padding rows
+            s1 = "".join(bases[c] for c in rng.integers(0, 4, 60))
+            s2 = "".join(bases[c] for c in rng.integers(0, 4, 60))
+            fa.write(f"@a{i}\n{s1}\n+\n{'I'*60}\n")
+            fb.write(f"@b{i}\n{s2}\n+\n{'I'*60}\n")
+
     port = _free_port()
     env = dict(os.environ)
     env["PYTHONPATH"] = _ROOT + os.pathsep + env.get("PYTHONPATH", "")
     env.pop("XLA_FLAGS", None)          # worker sets its own device count
     env["JAX_PLATFORMS"] = "cpu"
+    env["ALGA_TEST_INGEST_F1"] = str(tmp_path / "m1.fastq")
+    env["ALGA_TEST_INGEST_F2"] = str(tmp_path / "m2.fastq")
     worker = os.path.join(_ROOT, "tests", "multihost_worker.py")
 
     procs = [
@@ -46,3 +60,4 @@ def test_two_process_sharded_gcps():
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out}"
         assert "OK edges=" in out
+        assert "INGEST OK" in out
