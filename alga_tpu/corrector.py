@@ -209,6 +209,85 @@ def correct_reads(codes: np.ndarray, lengths: np.ndarray, valid) -> int:
     return total_changed
 
 
+def _merge_pair_counts(acc, b, s):
+    """Merge a chunk's (b, s) window-hash pairs into the running unique
+    (b, s, count) arrays (kept lexsorted)."""
+    if len(b) == 0:
+        return acc
+    order = np.lexsort((s, b))
+    b, s = b[order], s[order]
+    first = np.ones(len(b), dtype=bool)
+    first[1:] = (b[1:] != b[:-1]) | (s[1:] != s[:-1])
+    idx = np.flatnonzero(first)
+    cnt = np.diff(np.append(idx, len(b))).astype(np.int64)
+    b, s = b[idx], s[idx]
+    if acc is None:
+        return b, s, cnt
+    ab, as_, ac = acc
+    mb = np.concatenate([ab, b])
+    ms = np.concatenate([as_, s])
+    mc = np.concatenate([ac, cnt])
+    order = np.lexsort((ms, mb))
+    mb, ms, mc = mb[order], ms[order], mc[order]
+    first = np.ones(len(mb), dtype=bool)
+    first[1:] = (mb[1:] != mb[:-1]) | (ms[1:] != ms[:-1])
+    gid = np.cumsum(first) - 1
+    out_c = np.zeros(int(gid[-1]) + 1, dtype=np.int64)
+    np.add.at(out_c, gid, mc)
+    return mb[first], ms[first], out_c
+
+
+def correct_reads_batch(batch, chunk_rows: int = 1 << 16) -> int:
+    """Two-direction correction straight on the packed store, chunked:
+    unpack -> spectrum-accumulate / correct -> repack per read range, so
+    the uint8[N, L] code matrix is never materialized (memory diet; the
+    reference streams per-read, Read.cpp:40-68).  Identical results to
+    correct_reads on the unpacked matrix (differential-tested)."""
+    from alga_tpu import native
+    from alga_tpu.core import packing
+
+    n = len(batch)
+    lengths = np.asarray(batch.lengths, dtype=np.int64)
+    valid = np.asarray(batch.valid, dtype=bool)
+    if not native.available():
+        codes = batch.codes()
+        changed = correct_reads_py(codes, lengths, valid)
+        batch.packed = packing.codes_to_packed(codes, lengths,
+                                               batch.width_words)
+        return changed
+
+    total_changed = 0
+    for reversed_dir in (False, True):
+        acc = None
+        for a in range(0, n, chunk_rows):
+            sl = slice(a, min(n, a + chunk_rows))
+            codes_c = packing.packed_to_codes(batch.packed[sl])
+            if reversed_dir:
+                codes_c = _reverse_rows(codes_c, lengths[sl])
+            bH, sH, wvalid = _window_hashes(codes_c, lengths[sl])
+            ok = valid[sl] & (lengths[sl] >= SMALL + BIG)
+            wvalid &= ok[:, None]
+            acc = _merge_pair_counts(acc, bH[wvalid], sH[wvalid])
+        if acc is None:
+            continue
+        ub, us, uc = acc
+        keep = uc >= CANDIDATE_THRESHOLD
+        bk, sk = ub[keep], us[keep]
+        for a in range(0, n, chunk_rows):
+            sl = slice(a, min(n, a + chunk_rows))
+            codes_c = packing.packed_to_codes(batch.packed[sl])
+            if reversed_dir:
+                codes_c = _reverse_rows(codes_c, lengths[sl])
+            codes_c = np.ascontiguousarray(codes_c)
+            total_changed += native.correct_pass(
+                codes_c, lengths[sl], valid[sl], bk, sk)
+            if reversed_dir:
+                codes_c = _reverse_rows(codes_c, lengths[sl])
+            batch.packed[sl] = packing.codes_to_packed(
+                codes_c, lengths[sl], batch.width_words)
+    return total_changed
+
+
 def correct_reads_py(codes: np.ndarray, lengths: np.ndarray, valid) -> int:
     """Pure-Python twin of correct_reads (differential oracle)."""
     lengths = np.asarray(lengths, dtype=np.int64)

@@ -46,9 +46,9 @@ from alga_tpu.ops.align import ach_batch_auto, np_ach_can_align
 _U64MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
-def li_kmers(codes: np.ndarray, lengths: np.ndarray, valid: np.ndarray,
+def li_kmers(codes: np.ndarray | None, lengths: np.ndarray, valid: np.ndarray,
              priorities: list[int], k: int, intervals: int,
-             chunk_cells: int = 1 << 24):
+             chunk_cells: int = 1 << 24, packed: np.ndarray | None = None):
     """Per-read LI minimizer k-mers, fully vectorized.
 
     Returns arrays (read_id, ind_in_read, key_hi, key_lo): for each read and
@@ -78,7 +78,13 @@ def li_kmers(codes: np.ndarray, lengths: np.ndarray, valid: np.ndarray,
         nwin = nwin_all[c0 : c0 + rows_per_chunk]
         nwin_max = int(nwin.max())
         need = nwin_max + k - 1
-        sub = codes[ids, :min(need, codes.shape[1])]
+        if codes is None:
+            # memory diet: unpack only this chunk's rows from the 2-bit
+            # store — the full uint8[N, L] matrix is never materialized
+            from alga_tpu.core import packing as _packing
+            sub = _packing.packed_to_codes(np.asarray(packed)[ids], need)
+        else:
+            sub = codes[ids, :min(need, codes.shape[1])]
         if sub.shape[1] < need:
             sub = np.pad(sub, ((0, 0), (0, need - sub.shape[1])))
         rc = pr[sub]  # remapped codes, uint64
@@ -343,7 +349,7 @@ def pkb_supplement(adj_add, codes, lengths, read_lens, cfg,
     priorities = [0, 1, 2, 3]
     for _rot in range(min(4, priorities_rotations)):
         rid, ind, hi, lo = li_kmers(codes, read_lens, valid, priorities, k,
-                                    intervals)
+                                    intervals, packed=packed)
         if len(rid):
             rid_s, ind_s, starts, ends = _canonical_runs(
                 rid, ind, hi, lo, read_lens)

@@ -269,8 +269,14 @@ def ach_batch_auto(packed, codes, lengths, r1, r2, offsets, cfg,
         return np.zeros(0, dtype=bool)
     if m < min_device_batch or packed is None:
         if codes is None:
+            # unpack only the rows this batch touches (memory diet)
             from alga_tpu.core import packing
-            codes = packing.packed_to_codes(packed)
+            uniq, inv = np.unique(np.concatenate([r1, r2]),
+                                  return_inverse=True)
+            codes_sub = packing.packed_to_codes(np.asarray(packed)[uniq])
+            lens_sub = np.asarray(lengths)[uniq]
+            return np_ach_batch(codes_sub, lens_sub, inv[:m], inv[m:],
+                                offsets, cfg)
         return np_ach_batch(codes, lengths, r1, r2, offsets, cfg)
 
     from alga_tpu.ops.bitops import _pad_pow2

@@ -201,8 +201,9 @@ def run_supplement(g, batch: SeqBatch, tcfg: TunedConfig):
     scfg = supplement_retune(tcfg, batch.avg_read_length())
 
     adapter = SupplementAdj(g)
-    codes = batch.codes()
-    supp.pkb_supplement(adapter, codes, batch.lengths, batch.lengths, scfg,
+    # codes=None: LI k-mer extraction and the host ACH fallback unpack
+    # per-chunk from the packed store (memory diet — no uint8[N, L] matrix)
+    supp.pkb_supplement(adapter, None, batch.lengths, batch.lengths, scfg,
                         align_from, align_to, packed=batch.packed)
     out = adapter.to_graph()
     _log(f"supplement: {out.num_edges - g.num_edges:+d} edges")
@@ -257,12 +258,10 @@ def assemble(cfg: AssemblyConfig,
     # --- optional read correction (ref main.cpp:122-127) --------------------
     if tcfg.correct_reads:
         from alga_tpu import corrector
-        from alga_tpu.core import packing as packing_mod
         with timers.phase("read_corrector"):
-            codes = batch.codes()
-            nchanged = corrector.correct_reads(codes, batch.lengths, batch.valid)
-            batch.packed = packing_mod.codes_to_packed(
-                codes, batch.lengths, batch.width_words)
+            # chunked over read ranges straight on the packed store
+            # (memory diet: no global uint8[N, L] matrix)
+            nchanged = corrector.correct_reads_batch(batch)
         _log(f"read corrector changed {nchanged} reads")
         if tcfg.correct_reads == 2:
             # correct-only mode: dump the corrected reads and stop

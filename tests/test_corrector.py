@@ -116,3 +116,30 @@ def test_corrected_fasta_dump(tmp_path, rng):
             assert seq == "N" * 100
     # _2 exists too (reference writes both even for unpaired input)
     assert (tmp_path / "t_algacorrect_2.fasta").exists()
+
+
+def test_correct_reads_batch_matches_unchunked(rng):
+    """Chunked packed-store correction == whole-matrix correction."""
+    from alga_tpu.core.seqbatch import SeqBatch
+    from alga_tpu.core import packing
+    from alga_tpu import corrector
+
+    genome = "".join("ACGT"[i] for i in rng.integers(0, 4, 3000))
+    reads = []
+    for _ in range(600):
+        p = int(rng.integers(0, len(genome) - 80))
+        r = list(genome[p : p + 80])
+        if rng.random() < 0.5:          # one error per ~2 reads
+            q = int(rng.integers(5, 75))
+            r[q] = "ACGT"[int(rng.integers(0, 4))]
+        reads.append("".join(r))
+    b1 = SeqBatch.from_strings(reads)
+    b2 = SeqBatch.from_strings(reads)
+
+    codes = b1.codes()
+    c1 = corrector.correct_reads(codes, b1.lengths, b1.valid)
+    b1.packed = packing.codes_to_packed(codes, b1.lengths, b1.width_words)
+
+    c2 = corrector.correct_reads_batch(b2, chunk_rows=97)  # ragged chunks
+    assert c1 == c2
+    assert np.array_equal(b1.packed, b2.packed)
