@@ -165,9 +165,10 @@ def main() -> int:
     from alga_tpu.pipeline import assemble
 
     print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
-    _kernel_bench()
-    _dp_bench()
 
+    # e2e FIRST and the JSON line immediately after: the tunneled device
+    # link occasionally stalls for minutes, and the headline metric must
+    # land on stdout even if a later kernel microbench gets cut off
     genome, reads = _simulate()
     n_reads = len(reads)
     best = None
@@ -188,7 +189,10 @@ def main() -> int:
         "value": round(reads_per_s, 1),
         "unit": "reads/s",
         "vs_baseline": round(reads_per_s / REF_BASELINE_READS_PER_S, 3),
-    }))
+    }), flush=True)
+
+    _kernel_bench()
+    _dp_bench()
     return 0
 
 

@@ -92,36 +92,18 @@ struct Adj {
         return removed;
     }
 
-    // ref Graph::sortEdgesByIncreasingOffset (Graph.cpp:584-614)
-    void sort_by_offset() {
-        for (auto& la : out)
-            std::sort(la.begin(), la.end(), [](const pair<int,int>& p, const pair<int,int>& q) {
-                if (p.second != q.second) return p.second < q.second;
-                return p.first < q.first;
-            });
-    }
+    // ref Graph::sortEdgesByIncreasingOffset (Graph.cpp:584-614) — the
+    // reference fans these per-node passes over THREADS (P1); each node's
+    // list is independent, so the parallel result is identical
+    void sort_by_offset(int threads = 0);
 
     // per-node neighbor-ascending order: the canonical layout after
     // retainOnlySmallestOffset and after every reverseGraphInPlace round
     // trip — the layout the reference's dangling loop iterates
-    void sort_by_neighbor() {
-        for (auto& la : out) std::sort(la.begin(), la.end());
-    }
+    void sort_by_neighbor(int threads = 0);
 
     // ref Graph::retainOnlySmallestOffset (Graph.cpp:348-387)
-    void retain_min_offset() {
-        for (auto& la : out) {
-            std::sort(la.begin(), la.end());
-            vector<pair<int,int>> nn;
-            size_t p = 0;
-            while (p < la.size()) {
-                nn.push_back(la[p]);
-                p++;
-                while (p < la.size() && la[p-1].first == la[p].first) p++;
-            }
-            la.swap(nn);
-        }
-    }
+    void retain_min_offset(int threads = 0);
 
     int64_t num_edges() const {
         int64_t t = 0;
@@ -145,6 +127,41 @@ struct Adj {
         return r;
     }
 };
+
+void Adj::sort_by_offset(int threads) {
+    parallel_ranges(n, threads, [&](int, int64_t a, int64_t b) {
+        for (int64_t i = a; i < b; i++)
+            std::sort(out[i].begin(), out[i].end(),
+                      [](const pair<int,int>& p, const pair<int,int>& q) {
+                if (p.second != q.second) return p.second < q.second;
+                return p.first < q.first;
+            });
+    });
+}
+
+void Adj::sort_by_neighbor(int threads) {
+    parallel_ranges(n, threads, [&](int, int64_t a, int64_t b) {
+        for (int64_t i = a; i < b; i++)
+            std::sort(out[i].begin(), out[i].end());
+    });
+}
+
+void Adj::retain_min_offset(int threads) {
+    parallel_ranges(n, threads, [&](int, int64_t a, int64_t b) {
+        for (int64_t i = a; i < b; i++) {
+            auto& la = out[i];
+            std::sort(la.begin(), la.end());
+            vector<pair<int,int>> nn;
+            size_t p = 0;
+            while (p < la.size()) {
+                nn.push_back(la[p]);
+                p++;
+                while (p < la.size() && la[p-1].first == la[p].first) p++;
+            }
+            la.swap(nn);
+        }
+    });
+}
 
 // ---------------------------------------------------------------------------
 // cutNonAndWeaklyMetricTriangles (ref GraphSimplifier.cpp:228-348):
@@ -360,7 +377,12 @@ int64_t workload_covered(int64_t count, int64_t blocks) {
     return std::min(b * w - 1, n0) + 1;
 }
 
-int64_t remove_dangling(Adj& g, int max_offset, int threads) {
+// `rev` is the maintained reverse graph (same edge set, flipped): removals
+// are mirrored into it so the dangling loop never rebuilds a reversal —
+// the reference reverses the whole graph in place twice per iteration
+// (GraphSimplifier.cpp:811-820); edge-set-wise the two are identical and
+// every pass re-canonicalizes adjacency order before reading it.
+int64_t remove_dangling(Adj& g, Adj& rev, int max_offset, int threads) {
     // bug-compatible reference semantics (GraphSimplifier.cpp:577-723):
     // neighbor-ascending adjacency, WorkloadManager seed coverage
     // (blocks=10*T, ref :641), collected edges sort+unique'd then
@@ -389,7 +411,10 @@ int64_t remove_dangling(Adj& g, int max_offset, int threads) {
     int64_t keep = workload_covered((int64_t)to_remove.size(), 3LL * threads);
     int64_t removed = 0;
     for (int64_t i = 0; i < keep; i++)
-        if (g.remove_edge(to_remove[i].first, to_remove[i].second)) removed++;
+        if (g.remove_edge(to_remove[i].first, to_remove[i].second)) {
+            rev.remove_edge(to_remove[i].second, to_remove[i].first);
+            removed++;
+        }
     return removed;
 }
 
@@ -445,16 +470,17 @@ int64_t alga_simplify_graph_old(
 
     int modb_scaled = (int)((double)(modb * avg) / (float)100);
     int iterations = 0;
-    while (true) {
-        int64_t removed = remove_dangling(g, modb_scaled, threads);
-        {   // upper branches on the reversed graph (ref :811-820)
-            Adj r = g.reversed();
-            removed += remove_dangling(r, modb_scaled, threads);
-            g = r.reversed();
+    {
+        Adj rev = g.reversed();     // maintained incrementally from here on
+        while (true) {
+            int64_t removed = remove_dangling(g, rev, modb_scaled, threads);
+            // upper branches = the same pass on the reverse graph
+            // (ref :811-820), removals mirrored back
+            removed += remove_dangling(rev, g, modb_scaled, threads);
+            iterations++;
+            if (removed == 0) break;
+            if (iterations >= 16 && removed <= 30) break;  // ref :212-214
         }
-        iterations++;
-        if (removed == 0) break;
-        if (iterations >= 16 && removed <= 30) break;  // ref :212-214
     }
     mark_isolated(g, valid);
     // canonical (src, offset, dst) exit order — twin-parity with the Python
