@@ -94,24 +94,48 @@ def find_exact_overlaps(packed, lengths, ell_min: int, cap: int,
     af = np.ones(n, dtype=bool) if align_from is None else np.asarray(align_from, dtype=bool)
     at = np.ones(n, dtype=bool) if align_to is None else np.asarray(align_to, dtype=bool)
 
-    num_windows = max_len - k + 1
-    keys, wvalid = hashes.window_keys(packed, codes, lengths, k, num_windows)
-
-    # window (B, p) encodes candidate overlap ell = len_B - p; restrict to
-    # ell <= cap  <=>  p >= len_B - cap
-    pos = np.arange(num_windows, dtype=np.int64)[None, :]
-    wvalid = wvalid & af[:, None] & (pos >= (lengths[:, None] - cap))
+    if max_len > cap + (cap >> 2):
+        # long sequences (the contig-trim graph): only the last `cap`
+        # positions of each sequence can be a suffix window (ell <= cap),
+        # so hash a TAIL-compacted matrix instead of all max_len windows —
+        # ~max_len/cap less hashing/joining work.  Prefix keys (window 0)
+        # are hashed separately.
+        from alga_tpu.core import packing as _packing
+        if codes is None:
+            codes = _packing.packed_to_codes(packed, max_len)
+        eff = np.minimum(lengths, cap)
+        start = lengths - eff
+        capm = int(eff.max())
+        cols = np.arange(capm, dtype=np.int64)[None, :]
+        src = np.minimum(start[:, None] + cols, max_len - 1)
+        tail = np.take_along_axis(codes[:, :max_len], src, axis=1)
+        num_windows = capm - k + 1
+        keys, wvalid = hashes.window_keys(None, tail, eff, k, num_windows)
+        wvalid = wvalid & af[:, None]
+        pkeys, pvalid_w = hashes.window_keys(None, codes[:, :k], lengths, k, 1)
+        pref_key_arr = pkeys[:, 0]
+        wB, wp_t = np.nonzero(wvalid)
+        wp = start[wB] + wp_t                 # original window position
+        wkeys = keys[wB, wp_t]
+    else:
+        num_windows = max_len - k + 1
+        keys, wvalid = hashes.window_keys(packed, codes, lengths, k,
+                                          num_windows)
+        # window (B, p) encodes candidate overlap ell = len_B - p; restrict
+        # to ell <= cap  <=>  p >= len_B - cap
+        pos = np.arange(num_windows, dtype=np.int64)[None, :]
+        wvalid = wvalid & af[:, None] & (pos >= (lengths[:, None] - cap))
+        pref_key_arr = keys[:, 0]
+        wB, wp = np.nonzero(wvalid)
+        wkeys = keys[wB, wp]
 
     # prefix side
     pvalid = (lengths >= k) & at
     pref_ids = np.flatnonzero(pvalid)
-    pref_keys = keys[pref_ids, 0]
+    pref_keys = pref_key_arr[pref_ids]
     order = np.argsort(pref_keys, kind="stable")
     pref_ids_sorted = pref_ids[order]
     pref_keys_sorted = pref_keys[order]
-
-    wB, wp = np.nonzero(wvalid)
-    wkeys = keys[wB, wp]
 
     out_src, out_dst, out_ell = [], [], []
     W_verify = packing.words_for(min(max_len, cap))
