@@ -63,10 +63,17 @@ def codes_to_packed(codes: np.ndarray, lengths: np.ndarray, width_words: int | N
 
 
 def packed_to_codes(packed: np.ndarray, max_len: int | None = None) -> np.ndarray:
-    """Unpack uint32[N, W] to uint8[N, W*16] base codes (caller masks by length)."""
+    """Unpack uint32[N, W] to uint8[N, W*16] base codes (caller masks by
+    length).  Little-endian byte reinterpret + two uint8 doubling passes —
+    ~8x cheaper than widening every word to uint32 lanes."""
     n, w = packed.shape
-    expanded = (packed[:, :, None] >> _SHIFTS[None, None, :]) & np.uint32(3)
-    codes = expanded.reshape(n, w * BASES_PER_WORD).astype(np.uint8)
+    by = np.ascontiguousarray(packed, dtype=np.uint32).view(np.uint8)
+    a = np.empty((n, w * 8), dtype=np.uint8)        # 2 bases per nibble
+    a[:, 0::2] = by & 0xF
+    a[:, 1::2] = by >> 4
+    codes = np.empty((n, w * BASES_PER_WORD), dtype=np.uint8)
+    codes[:, 0::2] = a & 3
+    codes[:, 1::2] = a >> 2
     if max_len is not None:
         codes = codes[:, :max_len]
     return codes
