@@ -101,16 +101,17 @@ def _dp_bench():
     """Banded-LCS DP kernel throughput in Gcells/s (the BASELINE.json
     'Overlap-DP kernel Gcells/s vs roofline' metric).
 
-    Cells = pairs x rows(len1 - p_beg) x band(2E+1).  Measured on v5e
-    (2026-08-20, iterations chained on-device): Pallas Mosaic kernel
-    ~4.8-5.3 Gcells/s, XLA lax.scan kernel ~0.055 Gcells/s (the scan's
-    per-row dynamic slices defeat fusion).  Roofline note: counting only
-    band cells, ~25 ops+selects/cell on the VPU (8x128 lanes x ~0.94 GHz)
-    plus the HBM passes of the offset pre-alignment bound the current
-    layout near ~15 Gcells/s — the kernel is at ~1/3 of that, the rest
-    going to the XLA-side gather/transpose prep.  Reference hot loop:
-    ACLCS.cpp:61-150 (scalar-sequential, ~0.1 Gcells/s/core; a 32-core
-    run is ~3.2 Gcells/s — the single-chip Pallas kernel beats it).
+    Cells = pairs x rows(len1 - p_beg) x band(2E+1).  Measured on the
+    tunneled TPU (2026-08-20, iterations chained on-device): Pallas
+    Mosaic kernel 14-15 Gcells/s (was 4.8-5.3 in round 2; the XLA
+    lax.scan kernel is ~0.055 — per-row dynamic slices defeat fusion).
+    Round-3 redesign: [8, tile/8] full-vreg layout, MXU one-hot row
+    gather (XLA's gather costs ~34 ns/index — 4.5 ms for 2^17 rows),
+    in-kernel packed-domain offset shift, end-of-block harvest.  The
+    remaining ~3.3 ms/iter is ~2/3 one-hot build (M x N compares on the
+    VPU) + ~1/3 DP rows.  Reference hot loop: ACLCS.cpp:61-150
+    (scalar-sequential, ~0.1 Gcells/s/core; a 32-core run is ~3.2
+    Gcells/s — the single-chip Pallas kernel is ~4.5x that).
     """
     import jax
     import jax.numpy as jnp
