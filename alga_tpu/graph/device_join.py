@@ -498,6 +498,11 @@ def gcps_graph_device(packed_np, lengths_np, n: int, ell_min: int, cap: int,
                 tgt = (total, exp_total, nkeep_i)
                 continue
             _update_hint(hint_key, total, exp_total, nkeep_i)
+            # sample while the packed store / join buffers are still live:
+            # phase-boundary samples see no device arrays (the axon plugin
+            # has no memory_stats(), so peaks come from live buffers)
+            from alga_tpu.utils.timers import sample_memory
+            sample_memory("gcps_device", log=False)
             bump("gcps_candidates", total)
             bump("gcps_matches", nok_i)
             bump("gcps_domination_checks", exp_total)

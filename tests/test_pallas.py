@@ -42,3 +42,32 @@ def test_pallas_matches_xla_kernel(rng):
     a = np.asarray(banded_lcs_pallas(codes, lengths, r1, r2, offs, 48, 2))
     b = np.asarray(align.banded_lcs_batch(codes, lengths, r1, r2, offs, 48, 2))
     np.testing.assert_array_equal(a, b)
+
+
+def test_mxu_gather_planes_matches_numpy(rng):
+    from alga_tpu.ops.pallas import banded_dp as bd
+    import jax
+    import jax.numpy as jnp
+    with jax.enable_x64(False):
+        planes = jnp.asarray(rng.integers(0, 256, (16, 100)).astype(np.int32))
+        idx = jnp.asarray(rng.integers(0, 100, 700).astype(np.int32))
+        got = np.asarray(bd.mxu_gather_planes(planes, idx, interpret=True))
+    want = np.asarray(planes)[:, np.asarray(idx)]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_large_table_fallback(monkeypatch, rng):
+    """Tables above MXU_GATHER_MAX_N use the XLA row-gather path; force the
+    threshold to 0 so the fallback runs on a small differential case."""
+    from alga_tpu.ops.pallas import banded_dp as bd
+    monkeypatch.setattr(bd, "MXU_GATHER_MAX_N", 0)
+    # distinct shapes from the other tests: the jit cache is keyed on
+    # shapes, and the threshold is read at trace time
+    codes, lengths = _batch(rng, 21, 52)
+    M = 170
+    r1 = rng.integers(0, 21, M)
+    r2 = rng.integers(0, 21, M)
+    offs = rng.integers(0, 21, M)
+    a = np.asarray(banded_lcs_pallas(codes, lengths, r1, r2, offs, 52, 2))
+    b = np.asarray(align.banded_lcs_batch(codes, lengths, r1, r2, offs, 52, 2))
+    np.testing.assert_array_equal(a, b)
