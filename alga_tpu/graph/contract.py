@@ -141,17 +141,23 @@ class ContractedGraph:
         self.add_edge_min(a, c, wabc)
         return True
 
-    def contract_path_nodes(self, threshold: int) -> int:
+    def contract_path_nodes(self, threshold: int, path_node=None) -> int:
         """One contraction sweep (ref GraphSimplifier.cpp:910-958): absorb
         indeg-1/outdeg-1 chains into their anchoring predecessor's edge.
-        Returns number of contractions."""
-        indeg = np.zeros(self.n, dtype=np.int64)
-        outdeg = np.zeros(self.n, dtype=np.int64)
-        for s in range(self.n):
-            outdeg[s] = len(self.adj[s])
-            for d, _ in self.adj[s]:
-                indeg[d] += 1
-        path_node = (indeg == 1) & (outdeg == 1)
+        Returns number of contractions.
+
+        `path_node` optionally supplies the chain-node mask computed
+        elsewhere (the sharded pointer-doubling discovery,
+        parallel/sharded_contract.py); it must equal the host derivation
+        below — the sweep itself is unchanged."""
+        if path_node is None:
+            indeg = np.zeros(self.n, dtype=np.int64)
+            outdeg = np.zeros(self.n, dtype=np.int64)
+            for s in range(self.n):
+                outdeg[s] = len(self.adj[s])
+                for d, _ in self.adj[s]:
+                    indeg[d] += 1
+            path_node = (indeg == 1) & (outdeg == 1)
 
         done = 0
         for i in range(self.n):
