@@ -267,7 +267,16 @@ def banded_lcs_pallas(codes, lengths, r1, r2, offsets, max_len: int, E: int = 2,
 
     Runs under disable_x64: the package enables jax x64 globally, which
     makes pallas grid index-map constants i64 — Mosaic then fails to
-    legalize its trivial scalar returns.  Everything here is int32."""
+    legalize its trivial scalar returns.  Everything here is int32.
+
+    Band half-widths above 7 (band > 16 bases) exceed the kernel's
+    32-bit window extraction and fall back to the XLA kernel."""
+    if 2 * E + 1 > 16:
+        from alga_tpu.ops.align import banded_lcs_batch
+        if codes is None:
+            from alga_tpu.core import packing
+            codes = jnp.asarray(packing.packed_to_codes(np.asarray(packed)))
+        return banded_lcs_batch(codes, lengths, r1, r2, offsets, max_len, E)
     with jax.enable_x64(False):
         if packed is None:
             packed = _pack_codes_device(codes, max_len)

@@ -37,9 +37,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from alga_tpu.graph.overlap_graph import OverlapGraph
-from alga_tpu.parallel.sharded_gcps import _scatter_to_blocks
-
-_SENT = 0xFFFFFFFF
+from alga_tpu.parallel.sharded_gcps import _fetch_table_rows
 
 
 @lru_cache(maxsize=32)
@@ -58,16 +56,8 @@ def _doubling_fn(mesh: Mesh, d: int, per: int):
         active = tab_l[:, 3] > 0
 
         # fetch (ptr, wsum, rank, active) rows of each lane's ptr target
-        owner = jnp.where(active, ptr // per, d)
-        buf, order, owner_s, pos, _ovf = _scatter_to_blocks(
-            owner, ptr.astype(jnp.uint32)[:, None], d, per)
-        req = jax.lax.all_to_all(buf, "r", split_axis=0, concat_axis=0)
-        my = jax.lax.axis_index("r")
-        lid = jnp.clip(req[..., 0].astype(jnp.int32) - my * per, 0, per - 1)
-        resp = jax.lax.all_to_all(tab_l[lid].astype(jnp.uint32),
-                                  "r", split_axis=0, concat_axis=0)
-        got = resp[jnp.minimum(owner_s, d - 1), jnp.minimum(pos, per - 1)]
-        rows = jnp.zeros((per, 4), jnp.uint32).at[order].set(got)
+        # (F = per can never overflow: at most `per` requests per shard)
+        rows, _ovf = _fetch_table_rows(tab_l, ptr, active, per, d, per)
         t_ptr = rows[:, 0].astype(jnp.int32)
         t_w = rows[:, 1].astype(jnp.int32)
         t_rank = rows[:, 2].astype(jnp.int32)

@@ -111,29 +111,39 @@ def _route(owner, payload, d: int, S: int):
     return recv.reshape(d * S, payload.shape[1]), jax.lax.psum(ovf, "r")
 
 
-def _fetch_rows(packed_l, lengths_l, gids, gvalid, per: int, d: int, F: int):
-    """Remote gather of packed read rows by global id.
+def _fetch_table_rows(table_l, gids, gvalid, per: int, d: int, F: int):
+    """Remote gather of arbitrary uint32 table rows by global id — the
+    request/response all_to_all pair shared by the packed-row fetch, the
+    dangling-walk node fetch and the pointer-doubling rounds.
 
-    Request ids are routed to their home shard (gid // per), the home shard
-    gathers its local rows (+ length as a trailing word), and responses ride
-    back on a second all_to_all in the same slot order.  Rows for ~gvalid
-    entries are junk — callers must mask.  Returns (rows uint32[M, W],
-    lens int32[M], overflow)."""
-    w = packed_l.shape[1]
+    Request ids are routed to their home shard (gid // per), the home
+    shard gathers its local rows, and responses ride back on a second
+    all_to_all in the same slot order.  Rows for ~gvalid entries are
+    junk — callers must mask.  Returns (rows uint32[M, K], overflow)."""
+    k = table_l.shape[1]
     owner = jnp.where(gvalid, gids.astype(jnp.int32) // per, d)
     buf, order, owner_s, pos, ovf = _scatter_to_blocks(
         owner, gids.astype(jnp.uint32)[:, None], d, F)
     req = jax.lax.all_to_all(buf, "r", split_axis=0, concat_axis=0)
     my = jax.lax.axis_index("r")
     lid = jnp.clip(req[..., 0].astype(jnp.int32) - my * per, 0, per - 1)
-    rows = packed_l[lid]                              # [d, F, W]
-    lens = lengths_l[lid].astype(jnp.uint32)[..., None]
-    resp = jax.lax.all_to_all(
-        jnp.concatenate([rows.astype(jnp.uint32), lens], axis=-1),
-        "r", split_axis=0, concat_axis=0)             # [d, F, W+1]
+    resp = jax.lax.all_to_all(table_l[lid].astype(jnp.uint32),
+                              "r", split_axis=0, concat_axis=0)  # [d, F, K]
     got = resp[jnp.minimum(owner_s, d - 1), jnp.minimum(pos, F - 1)]
-    out = jnp.zeros((gids.shape[0], w + 1), jnp.uint32).at[order].set(got)
-    return out[:, :w], out[:, w].astype(jnp.int32), jax.lax.psum(ovf, "r")
+    out = jnp.zeros((gids.shape[0], k), jnp.uint32).at[order].set(got)
+    return out, jax.lax.psum(ovf, "r")
+
+
+def _fetch_rows(packed_l, lengths_l, gids, gvalid, per: int, d: int, F: int):
+    """Remote gather of packed read rows (+ length as a trailing word) by
+    global id; see _fetch_table_rows.  Returns (rows uint32[M, W],
+    lens int32[M], overflow)."""
+    w = packed_l.shape[1]
+    table_l = jnp.concatenate(
+        [packed_l.astype(jnp.uint32),
+         lengths_l.astype(jnp.uint32)[:, None]], axis=-1)
+    out, ovf = _fetch_table_rows(table_l, gids, gvalid, per, d, F)
+    return out[:, :w], out[:, w].astype(jnp.int32), ovf
 
 
 def _funnel_word(rows_pad, start, w: int):

@@ -224,8 +224,14 @@ def _error_path_bench():
         out = []
         for s in (a, b):
             arr = np.frombuffer(s.encode(), dtype=np.uint8).copy()
-            err = rng.random(rl) < 0.01
-            arr[err] = bases[rng.integers(0, 4, int(err.sum()))]
+            err = rng.random(rl) < 0.02
+            ne = int(err.sum())
+            # substitute with a DIFFERENT base so the injected error load
+            # matches the labeled 2% exactly
+            repl = bases[rng.integers(0, 4, ne)]
+            same = repl == arr[err]
+            repl[same] = bases[(np.searchsorted(bases, repl[same]) + 1) % 4]
+            arr[err] = repl
             out.append(arr.tobytes().decode())
         r1s.append(out[0])
         r2s.append(out[1])
