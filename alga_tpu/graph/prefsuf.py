@@ -140,12 +140,20 @@ def find_exact_overlaps(packed, lengths, ell_min: int, cap: int,
     out_src, out_dst, out_ell = [], [], []
     W_verify = packing.words_for(min(max_len, cap))
 
+    from alga_tpu import native as _native
+    use_native_join = _native.available()
+
     for lo_i in range(0, len(wB), chunk):
         sl = slice(lo_i, lo_i + chunk)
         cB, cp, ck = wB[sl], wp[sl], wkeys[sl]
-        lo = np.searchsorted(pref_keys_sorted, ck, side="left")
-        hi = np.searchsorted(pref_keys_sorted, ck, side="right")
-        counts = hi - lo
+        if use_native_join:
+            # hash-join range lookup (~10x the searchsorted probes: binary
+            # search over a multi-million-key table is cache-miss bound)
+            lo, counts = _native.join_ranges(pref_keys_sorted, ck)
+        else:
+            lo = np.searchsorted(pref_keys_sorted, ck, side="left")
+            hi = np.searchsorted(pref_keys_sorted, ck, side="right")
+            counts = hi - lo
         if counts.sum() == 0:
             continue
         B_rep = np.repeat(cB, counts)

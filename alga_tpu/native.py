@@ -117,6 +117,11 @@ def get_lib():
     lib.alga_fastx_fill_range.argtypes = [
         u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int64, u8p, i64p,
         ctypes.c_int64, ctypes.c_int64, i64p, ctypes.c_int64]
+    u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+    lib.alga_join_ranges.restype = None
+    lib.alga_join_ranges.argtypes = [
+        u64p, ctypes.c_int64, u64p, ctypes.c_int64, i64p, i64p,
+        ctypes.c_int32]
     _lib = lib
     return lib
 
@@ -377,6 +382,21 @@ def consensus_native(contigs, batch, codes, coverage_thr: int,
         else:
             a0 = int(col_base[i])
             c.seq = basechars[out_bases[a0 + b : a0 + e]].tobytes().decode("ascii")
+
+
+def join_ranges(table_keys_sorted: np.ndarray, probe_keys: np.ndarray,
+                threads: int = 0):
+    """(lo int64[M], cnt int64[M]): equal-key range of each probe key in
+    the SORTED table — hash-join twin of the two np.searchsorted calls
+    (left/right) in prefsuf.find_exact_overlaps, ~10x faster (binary
+    search over a multi-million-key table is cache-miss bound)."""
+    lib = get_lib()
+    t = np.ascontiguousarray(table_keys_sorted, dtype=np.uint64)
+    p = np.ascontiguousarray(probe_keys, dtype=np.uint64)
+    lo = np.empty(max(len(p), 1), dtype=np.int64)
+    cnt = np.empty(max(len(p), 1), dtype=np.int64)
+    lib.alga_join_ranges(t, len(t), p, len(p), lo, cnt, threads)
+    return lo[: len(p)], cnt[: len(p)]
 
 
 def gcps_from_matches(n, matches, packed, lengths, rsoe: int, soes: int):
