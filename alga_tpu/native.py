@@ -122,6 +122,10 @@ def get_lib():
     lib.alga_join_ranges.argtypes = [
         u64p, ctypes.c_int64, u64p, ctypes.c_int64, i64p, i64p,
         ctypes.c_int32]
+    lib.alga_window_hash.restype = None
+    lib.alga_window_hash.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_uint32, ctypes.c_uint32, u64p, ctypes.c_int32]
     _lib = lib
     return lib
 
@@ -382,6 +386,20 @@ def consensus_native(contigs, batch, codes, coverage_thr: int,
         else:
             a0 = int(col_base[i])
             c.seq = basechars[out_bases[a0 + b : a0 + e]].tobytes().decode("ascii")
+
+
+def window_hash(codes: np.ndarray, k: int, num_windows: int,
+                a1, a2, threads: int = 0) -> np.ndarray:
+    """uint64[N, num_windows] combined window keys — native twin of
+    hashes.np_window_kmer_keys + combine_keys (one rolling multiply-add
+    pass per base, multithreaded; bit-identical incl. padded positions)."""
+    lib = get_lib()
+    c = np.ascontiguousarray(codes, dtype=np.uint8)
+    n, lpad = c.shape
+    out = np.empty((max(n, 1), max(num_windows, 1)), dtype=np.uint64)
+    lib.alga_window_hash(c, n, lpad, k, num_windows,
+                         int(a1), int(a2), out, threads)
+    return out[:n, :num_windows]
 
 
 def join_ranges(table_keys_sorted: np.ndarray, probe_keys: np.ndarray,

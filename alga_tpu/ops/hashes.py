@@ -158,14 +158,27 @@ def window_keys(packed: np.ndarray, codes_or_none, lengths, k: int,
     n = packed.shape[0] if packed is not None else codes_or_none.shape[0]
     if prefer_device is None:
         prefer_device = (n * num_windows >= 1 << 18) and (num_windows <= 4096)
+        if jax.default_backend() == "cpu":
+            # on a CPU backend the native rolling hash beats the jax scan
+            # ~6x (and skips the k1/k2 device->numpy conversions)
+            from alga_tpu import native as _native
+            if _native.available():
+                prefer_device = False
     if prefer_device and packed is not None:
         k1, k2, valid = window_kmer_keys_u32(packed, np.asarray(lengths), k, num_windows)
         k1, k2, valid = np.asarray(k1), np.asarray(k2), np.asarray(valid)
-    else:
-        if codes_or_none is None:
-            from alga_tpu.core import packing
-            codes_or_none = packing.packed_to_codes(packed)
-        k1, k2, valid = np_window_kmer_keys(codes_or_none, lengths, k, num_windows)
+        return combine_keys(k1, k2), valid
+    if codes_or_none is None:
+        from alga_tpu.core import packing
+        codes_or_none = packing.packed_to_codes(packed)
+    lengths = np.asarray(lengths, dtype=np.int64)
+    pos = np.arange(num_windows, dtype=np.int64)[None, :]
+    valid = pos + k <= lengths[:, None]
+    from alga_tpu import native as _native
+    if _native.available():
+        keys = _native.window_hash(codes_or_none, k, num_windows, A1, A2)
+        return keys, valid
+    k1, k2, _ = np_window_kmer_keys(codes_or_none, lengths, k, num_windows)
     return combine_keys(k1, k2), valid
 
 

@@ -1731,3 +1731,45 @@ void alga_join_ranges(const uint64_t* table_keys, int64_t nt,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// rolling window-hash (native twin of ops/hashes.np_window_kmer_keys +
+// combine_keys: h(p) = sum_j c[p+j] * A^(k-1-j) mod 2^32 for both A1/A2,
+// combined key = h1 << 32 | h2).  Replaces the jax-CPU scan / numpy
+// closed form on host paths (~10x: one multiply-add pass per base).
+// Padded positions hash over zero codes — bit-identical to the numpy
+// twin even where the caller's valid mask is false.
+
+extern "C" {
+
+void alga_window_hash(const uint8_t* codes, int64_t n, int64_t lpad,
+                      int32_t k, int32_t nw, uint32_t a1, uint32_t a2,
+                      uint64_t* out, int threads) {
+    // A^(k-1)
+    uint32_t ak1 = 1, ak2 = 1;
+    for (int32_t i = 0; i < k - 1; i++) { ak1 *= a1; ak2 *= a2; }
+
+    parallel_ranges(n, threads, [&](int, int64_t lo, int64_t hi) {
+        for (int64_t r = lo; r < hi; r++) {
+            const uint8_t* c = codes + r * lpad;
+            uint64_t* o = out + r * nw;
+            auto at = [&](int64_t i) -> uint32_t {
+                return i < lpad ? (uint32_t)c[i] : 0u;
+            };
+            uint32_t h1 = 0, h2 = 0;
+            for (int32_t j = 0; j < k; j++) {
+                h1 = h1 * a1 + at(j);
+                h2 = h2 * a2 + at(j);
+            }
+            o[0] = ((uint64_t)h1 << 32) | h2;
+            for (int32_t p = 1; p < nw; p++) {
+                uint32_t cp = at(p - 1);
+                h1 = (h1 - cp * ak1) * a1 + at(p - 1 + k);
+                h2 = (h2 - cp * ak2) * a2 + at(p - 1 + k);
+                o[p] = ((uint64_t)h1 << 32) | h2;
+            }
+        }
+    }, 64);
+}
+
+}  // extern "C"
