@@ -264,32 +264,65 @@ def build_read_batch(file1_seqs: list[str], file2_seqs: list[str] | None = None,
     return batch
 
 
+def _reverse_2bit_fields(w: np.ndarray) -> np.ndarray:
+    """uint32: reverse the 16 little-endian 2-bit fields of each word, so
+    base 0 lands in the most significant field — numeric (and big-endian
+    memcmp) order of the result IS base-lexicographic order.  The same
+    trick as the reference's bit-reversed bucket keys
+    (ref ReadPreprocess.cpp:79-152)."""
+    w = w.copy()
+    m1, m2, m3 = np.uint32(0x33333333), np.uint32(0x0F0F0F0F), np.uint32(0x00FF00FF)
+    w = ((w & m1) << np.uint32(2)) | ((w >> np.uint32(2)) & m1)
+    w = ((w & m2) << np.uint32(4)) | ((w >> np.uint32(4)) & m2)
+    w = ((w & m3) << np.uint32(8)) | ((w >> np.uint32(8)) & m3)
+    return (w << np.uint32(16)) | (w >> np.uint32(16))
+
+
+# first differing 2-bit field (from the most significant) of a nonzero
+# xor byte: (8 - bit_length) // 2
+_FIRST_FIELD = np.array([(8 - int(b).bit_length()) // 2 if b else 0
+                         for b in range(256)], dtype=np.int64)
+
+
 def mark_prefix_reads(batch: SeqBatch) -> np.ndarray:
     """bool[N]: reads to remove as duplicates/prefixes of other reads
     (ref ReadPreprocess::getPrefixReads, mode PREF_READS_ALL_PREFIX_READS).
-    Only valid reads participate."""
+    Only valid reads participate.
+
+    Runs PACKED-native: sort keys are the field-reversed packed words
+    stored big-endian (memcmp == base-lex order; a read's A-padded tail +
+    an explicit length tail gives the same total order as the previous
+    unpacked 0-sentinel keys — proof in the pull notes), so the whole
+    pass never materializes the uint8[N, L] code matrix (which was ~2/3
+    of the phase's wall time and memory)."""
     n = len(batch)
     marked = np.zeros(n, dtype=bool)
     ids = np.flatnonzero(batch.valid)
     if len(ids) == 0:
         return marked
-    codes = batch.codes()[ids]
+    packed = np.asarray(batch.packed)[ids]
     lengths = batch.lengths[ids].astype(np.int64)
-    lpad = codes.shape[1]
-    # shift to 1..4 with 0-pad so a prefix sorts before its extensions
-    keyed = (codes + 1).astype(np.uint8)
-    cols = np.arange(lpad, dtype=np.int64)[None, :]
-    keyed[cols >= lengths[:, None]] = 0
-    skeys = np.ascontiguousarray(keyed).view(f"S{lpad}").ravel()
-    # tie-break (size, id): memcmp already orders shorter-prefix first for
-    # equal content; equal full content -> stable sort keeps id order
+    W = packed.shape[1]
+
+    rev = _reverse_2bit_fields(packed.astype(np.uint32))
+    kb = np.empty((len(ids), 4 * W + 2), dtype=np.uint8)
+    kb[:, : 4 * W] = rev.astype(">u4").view(np.uint8).reshape(len(ids), 4 * W)
+    kb[:, 4 * W] = (lengths >> 8).astype(np.uint8)
+    kb[:, 4 * W + 1] = (lengths & 0xFF).astype(np.uint8)
+    skeys = np.ascontiguousarray(kb).view(f"S{4 * W + 2}").ravel()
     order = np.argsort(skeys, kind="stable")
 
-    sc = keyed[order]
+    sc = kb[order]
     sl = lengths[order]
     sid = ids[order]
     neq = sc[:-1] != sc[1:]
-    first_mismatch = np.where(neq.any(axis=1), neq.argmax(axis=1), lpad)
+    any_neq = neq.any(axis=1)
+    bidx = neq.argmax(axis=1)
+    rows = np.arange(len(sc) - 1)
+    xorb = sc[:-1][rows, bidx] ^ sc[1:][rows, bidx]
+    fm = bidx * 4 + _FIRST_FIELD[xorb]
+    # mismatch in the length tail (or full equality) = content equal
+    first_mismatch = np.where(any_neq & (bidx < 4 * W), fm, 16 * W)
     is_prefix = first_mismatch >= sl[:-1]
     marked[sid[:-1][is_prefix]] = True
     strict = is_prefix & (sl[:-1] < sl[1:])

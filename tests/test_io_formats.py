@@ -166,3 +166,54 @@ class TestNativeFastxParse:
         assert np.array_equal(b1.lengths, b2.lengths)
         assert np.array_equal(b1.valid, b2.valid)
         assert np.array_equal(b1.packed, b2.packed)
+
+
+def test_mark_prefix_reads_packed_vs_unpacked_oracle():
+    """The packed-native prefix/duplicate marking must equal the unpacked
+    0-sentinel byte-key formulation (the previous implementation, kept
+    here as the oracle) on batches with injected prefixes/duplicates."""
+    import numpy as np
+
+    from alga_tpu.core.seqbatch import SeqBatch
+    from alga_tpu.io import fastx
+
+    def oracle(batch):
+        n = len(batch)
+        marked = np.zeros(n, dtype=bool)
+        ids = np.flatnonzero(batch.valid)
+        if len(ids) == 0:
+            return marked
+        codes = batch.codes()[ids]
+        lengths = batch.lengths[ids].astype(np.int64)
+        lpad = codes.shape[1]
+        keyed = (codes + 1).astype(np.uint8)
+        cols = np.arange(lpad, dtype=np.int64)[None, :]
+        keyed[cols >= lengths[:, None]] = 0
+        skeys = np.ascontiguousarray(keyed).view(f"S{lpad}").ravel()
+        order = np.argsort(skeys, kind="stable")
+        sc = keyed[order]
+        sl = lengths[order]
+        sid = ids[order]
+        neq = sc[:-1] != sc[1:]
+        first_mismatch = np.where(neq.any(axis=1), neq.argmax(axis=1), lpad)
+        is_prefix = first_mismatch >= sl[:-1]
+        marked[sid[:-1][is_prefix]] = True
+        strict = is_prefix & (sl[:-1] < sl[1:])
+        marked[SeqBatch.revcomp_id(sid[:-1][strict])] = True
+        return marked
+
+    rng = np.random.default_rng(7)
+    for _ in range(5):
+        seqs = []
+        for _ in range(int(rng.integers(4, 300))):
+            L = int(rng.integers(10, 80))
+            s = "".join("ACGT"[c] for c in rng.integers(0, 4, L))
+            seqs.append(s)
+            if rng.random() < 0.4:
+                seqs.append(s[: int(rng.integers(5, L + 1))])
+            if rng.random() < 0.2:
+                seqs.append(s)
+        batch = fastx.build_read_batch(seqs, None, trim_left=0, trim_right=0)
+        batch.valid &= rng.random(len(batch)) > 0.05
+        np.testing.assert_array_equal(oracle(batch),
+                                      fastx.mark_prefix_reads(batch))
