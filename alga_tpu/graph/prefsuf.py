@@ -119,6 +119,30 @@ def find_exact_overlaps(packed, lengths, ell_min: int, cap: int,
         wkeys = keys[wB, wp_t]
     else:
         num_windows = max_len - k + 1
+        from alga_tpu import native as _nat
+        import jax as _jax
+        if _nat.available() and _jax.default_backend() == "cpu":
+            # fully fused native path: rolling window hash + hash join +
+            # packed verification in one pass (no bool matrix / nonzero /
+            # repeat expansion); match order identical to the numpy chain
+            from alga_tpu.core import packing as _packing
+            if codes is None:
+                codes = _packing.packed_to_codes(packed, max_len)
+            keys = _nat.window_hash(codes, k, num_windows,
+                                    hashes.A1, hashes.A2)
+            pvalid = (lengths >= k) & at
+            pref_ids = np.flatnonzero(pvalid)
+            pk = keys[pref_ids, 0]
+            order = np.argsort(pk, kind="stable")
+            src, dst, ell = _nat.gcps_join_verify(
+                keys, lengths, af & (lengths >= k), k, cap,
+                pk[order], pref_ids[order].astype(np.int32),
+                np.asarray(packed))
+            from alga_tpu.utils.timers import bump
+            bump("gcps_matches", len(src))
+            return OverlapMatches(src.astype(np.int64),
+                                  dst.astype(np.int64),
+                                  ell.astype(np.int64))
         keys, wvalid = hashes.window_keys(packed, codes, lengths, k,
                                           num_windows)
         # window (B, p) encodes candidate overlap ell = len_B - p; restrict

@@ -126,6 +126,13 @@ def get_lib():
     lib.alga_window_hash.argtypes = [
         u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_uint32, ctypes.c_uint32, u64p, ctypes.c_int32]
+    lib.alga_gcps_join_verify.restype = ctypes.c_int64
+    lib.alga_gcps_join_verify.argtypes = [
+        u64p, ctypes.c_int64, ctypes.c_int64, i64p, u8p,
+        ctypes.c_int32, ctypes.c_int32,
+        u64p, i32p, ctypes.c_int64,
+        u32p, ctypes.c_int64,
+        i32p, i32p, i32p, ctypes.c_int64, ctypes.c_int32]
     _lib = lib
     return lib
 
@@ -400,6 +407,35 @@ def window_hash(codes: np.ndarray, k: int, num_windows: int,
     lib.alga_window_hash(c, n, lpad, k, num_windows,
                          int(a1), int(a2), out, threads)
     return out[:n, :num_windows]
+
+
+def gcps_join_verify(keys: np.ndarray, lengths: np.ndarray, af: np.ndarray,
+                     k: int, cap: int,
+                     table_keys_sorted: np.ndarray, table_ids: np.ndarray,
+                     packed: np.ndarray, threads: int = 0):
+    """(src, dst, ell) int32 arrays: fused window-key join + packed exact
+    verification — native twin of the probe/expand/verify chain in
+    prefsuf.find_exact_overlaps (row-major probe order, table-run order
+    within a key: identical match order)."""
+    lib = get_lib()
+    keys = np.ascontiguousarray(keys, dtype=np.uint64)
+    n, nw = keys.shape
+    lens = np.ascontiguousarray(lengths, dtype=np.int64)
+    afc = np.ascontiguousarray(af, dtype=np.uint8)
+    tk = np.ascontiguousarray(table_keys_sorted, dtype=np.uint64)
+    ti = np.ascontiguousarray(table_ids, dtype=np.int32)
+    pk = np.ascontiguousarray(packed, dtype=np.uint32)
+    out_cap = max(4 * n, 1 << 16)
+    while True:
+        src = np.empty(out_cap, dtype=np.int32)
+        dst = np.empty(out_cap, dtype=np.int32)
+        ell = np.empty(out_cap, dtype=np.int32)
+        m = lib.alga_gcps_join_verify(
+            keys, n, nw, lens, afc, k, cap, tk, ti, len(tk),
+            pk, pk.shape[1], src, dst, ell, out_cap, threads)
+        if m <= out_cap:
+            return src[:m].copy(), dst[:m].copy(), ell[:m].copy()
+        out_cap = m
 
 
 def join_ranges(table_keys_sorted: np.ndarray, probe_keys: np.ndarray,

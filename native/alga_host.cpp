@@ -1773,3 +1773,147 @@ void alga_window_hash(const uint8_t* codes, int64_t n, int64_t lpad,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// fused GCPS candidate join + packed verification (native twin of the
+// probe/expand/verify loop of prefsuf.find_exact_overlaps): for every
+// valid window (read B, position p) whose key equals a prefix key run,
+// emit (B, C, ell=len_B-p) for each table read C with B != C and
+// len_C >= ell and packed-exact equality of B[p:p+ell] vs C[0:ell].
+// Replaces the numpy nonzero/repeat/ragged-arange/substr_equal chain
+// (the expansion materialized ~8 candidate arrays per chunk).
+// Ref hot loop: GraphCreatorPrefSuf::nextPrefSufIterationJobAddEdges
+// (src/GraphCreators/GraphCreatorPrefSuf.cpp:356-488).
+
+namespace gcpsjoin {
+
+struct HashTable {
+    std::vector<uint64_t> key;
+    std::vector<int64_t> lo, cnt;
+    uint64_t mask = 0;
+
+    void build(const uint64_t* tkeys, int64_t nt) {
+        int64_t ndist = 0;
+        for (int64_t i = 0; i < nt; i++)
+            if (i == 0 || tkeys[i] != tkeys[i - 1]) ndist++;
+        uint64_t cap = 1;
+        while (cap < (uint64_t)ndist * 2 + 2) cap <<= 1;
+        mask = cap - 1;
+        key.assign(cap, ~0ull);
+        lo.assign(cap, 0);
+        cnt.assign(cap, 0);
+        for (int64_t i = 0; i < nt;) {
+            int64_t j = i;
+            while (j < nt && tkeys[j] == tkeys[i]) j++;
+            uint64_t h = joinx::mix64(tkeys[i]) & mask;
+            while (key[h] != ~0ull) h = (h + 1) & mask;
+            key[h] = tkeys[i];
+            lo[h] = i;
+            cnt[h] = j - i;
+            i = j;
+        }
+    }
+
+    inline bool find(uint64_t k, int64_t& l, int64_t& c) const {
+        uint64_t h = joinx::mix64(k) & mask;
+        while (key[h] != ~0ull) {
+            if (key[h] == k) { l = lo[h]; c = cnt[h]; return true; }
+            h = (h + 1) & mask;
+        }
+        return false;
+    }
+};
+
+// exact equality of B's bases [p, p+ell) vs C's bases [0, ell) on the
+// 2-bit packed rows (little-endian fields; rows zero-padded past length)
+static inline bool substr_eq(const uint32_t* rb, const uint32_t* rc,
+                             int64_t W, int64_t p, int64_t ell) {
+    int64_t wshift = p >> 4;
+    uint32_t bs = (uint32_t)((p & 15) * 2);
+    int64_t wfull = ell >> 4;
+    uint32_t rem = (uint32_t)((ell & 15) * 2);
+    auto bword = [&](int64_t w) -> uint32_t {
+        uint32_t lo = (w + wshift < W) ? rb[w + wshift] : 0u;
+        if (bs == 0) return lo;
+        uint32_t hi = (w + wshift + 1 < W) ? rb[w + wshift + 1] : 0u;
+        return (lo >> bs) | (hi << (32 - bs));
+    };
+    for (int64_t w = 0; w < wfull; w++)
+        if (bword(w) != rc[w]) return false;
+    if (rem) {
+        uint32_t m = (1u << rem) - 1;
+        if (((bword(wfull) ^ rc[wfull]) & m) != 0) return false;
+    }
+    return true;
+}
+
+}  // namespace gcpsjoin
+
+extern "C" {
+
+int64_t alga_gcps_join_verify(
+    const uint64_t* keys, int64_t n, int64_t nw,
+    const int64_t* lengths, const uint8_t* af,
+    int32_t k, int32_t cap,
+    const uint64_t* tkeys, const int32_t* tids, int64_t nt,
+    const uint32_t* packed, int64_t W,
+    int32_t* out_src, int32_t* out_dst, int32_t* out_ell, int64_t out_cap,
+    int threads) {
+
+    gcpsjoin::HashTable ht;
+    ht.build(tkeys, nt);
+
+    int T = resolve_threads(threads);
+    if (force_seq() || n < 4096) T = 1;
+    std::vector<std::vector<int32_t>> bufs(T);   // (B, C, ell) triples
+    std::vector<std::thread> ths;
+    int64_t blk = (n + T - 1) / T;
+
+    auto job = [&](int t) {
+        int64_t lo_r = t * blk, hi_r = std::min(n, (t + 1) * blk);
+        auto& out = bufs[t];
+        for (int64_t B = lo_r; B < hi_r; B++) {
+            if (!af[B]) continue;
+            int64_t lenB = lengths[B];
+            int64_t p_end = std::min((int64_t)nw - 1, lenB - k);
+            int64_t p_beg = std::max((int64_t)0, lenB - cap);
+            const uint64_t* krow = keys + B * nw;
+            const uint32_t* rb = packed + B * W;
+            for (int64_t p = p_beg; p <= p_end; p++) {
+                int64_t tl, tc;
+                if (!ht.find(krow[p], tl, tc)) continue;
+                int64_t ell = lenB - p;
+                for (int64_t j = tl; j < tl + tc; j++) {
+                    int32_t C = tids[j];
+                    if (C == B || lengths[C] < ell) continue;
+                    if (!gcpsjoin::substr_eq(rb, packed + (int64_t)C * W,
+                                             W, p, ell)) continue;
+                    out.push_back((int32_t)B);
+                    out.push_back(C);
+                    out.push_back((int32_t)ell);
+                }
+            }
+        }
+    };
+    if (T == 1) {
+        job(0);
+    } else {
+        for (int t = 0; t < T; t++) ths.emplace_back(job, t);
+        for (auto& th : ths) th.join();
+    }
+
+    int64_t total = 0;
+    for (auto& b : bufs) total += (int64_t)b.size() / 3;
+    if (total > out_cap) return total;     // caller re-calls with room
+    int64_t w = 0;
+    for (auto& b : bufs)                    // thread order == row order
+        for (size_t i = 0; i < b.size(); i += 3) {
+            out_src[w] = b[i];
+            out_dst[w] = b[i + 1];
+            out_ell[w] = b[i + 2];
+            w++;
+        }
+    return total;
+}
+
+}  // extern "C"

@@ -211,3 +211,38 @@ def test_gcps_graph_device_with_masks(rng):
         o = np.lexsort((g.offset, g.dst, g.src))
         return np.stack([g.src[o], g.dst[o], g.offset[o]])
     assert np.array_equal(canon(py), canon(dev))
+
+
+def test_fused_native_join_matches_numpy_chain():
+    """The fused native join+verify (alga_gcps_join_verify) must produce
+    the SAME matches in the SAME order as the numpy probe/expand/verify
+    chain, including align_from/align_to masks."""
+    from unittest import mock
+
+    import alga_tpu.native as native
+    from alga_tpu.io import fastx
+    from tests.simulate import random_genome, simulate_paired
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(3)
+    genome = random_genome(rng, 40_000)
+    r1, r2 = simulate_paired(genome, rng, read_len=100, insert=300,
+                             coverage=10.0)
+    batch = fastx.build_read_batch(r1, r2, trim_left=3, trim_right=3)
+    n = len(batch)
+    af = batch.valid.copy()
+    at = batch.valid.copy()
+    af[rng.random(n) < 0.1] = False
+    at[rng.random(n) < 0.1] = False
+
+    m_nat = prefsuf.find_exact_overlaps(batch.packed, batch.lengths, 55, 500,
+                                        af, at)
+    with mock.patch.object(native, "available", lambda: False):
+        m_np = prefsuf.find_exact_overlaps(batch.packed, batch.lengths, 55,
+                                           500, af, at)
+    np.testing.assert_array_equal(m_nat.src, m_np.src)
+    np.testing.assert_array_equal(m_nat.dst, m_np.dst)
+    np.testing.assert_array_equal(m_nat.ell, m_np.ell)
