@@ -302,6 +302,10 @@ def mark_prefix_reads(batch: SeqBatch) -> np.ndarray:
         return marked
     packed = np.asarray(batch.packed)[ids]
     lengths = batch.lengths[ids].astype(np.int64)
+    # the sort key's length tie-break is 2 big-endian bytes (ADVICE r3):
+    # reads are hard-capped well below this, but fail loudly if violated
+    assert int(lengths.max(initial=0)) <= 0xFFFF, \
+        "mark_prefix_reads: 16-bit length tie-break overflow"
     W = packed.shape[1]
 
     rev = _reverse_2bit_fields(packed.astype(np.uint32))

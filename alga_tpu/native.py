@@ -71,7 +71,7 @@ def get_lib():
         ctypes.c_int32, ctypes.c_int64, i32p, i32p, i32p,
         u32p, ctypes.c_int64, i32p,
         ctypes.c_int32, ctypes.c_int32,
-        i32p, i32p, i32p]
+        i32p, i32p, i32p, i64p]
 
     lib.alga_preprocess_pack.restype = None
     lib.alga_preprocess_pack.argtypes = [
@@ -132,7 +132,7 @@ def get_lib():
         ctypes.c_int32, ctypes.c_int32,
         u64p, i32p, ctypes.c_int64,
         u32p, ctypes.c_int64,
-        i32p, i32p, i32p, ctypes.c_int64, ctypes.c_int32]
+        i32p, i32p, i32p, ctypes.c_int64, ctypes.c_int32, i64p]
     _lib = lib
     return lib
 
@@ -426,14 +426,17 @@ def gcps_join_verify(keys: np.ndarray, lengths: np.ndarray, af: np.ndarray,
     ti = np.ascontiguousarray(table_ids, dtype=np.int32)
     pk = np.ascontiguousarray(packed, dtype=np.uint32)
     out_cap = max(4 * n, 1 << 16)
+    cand = np.zeros(1, dtype=np.int64)
     while True:
         src = np.empty(out_cap, dtype=np.int32)
         dst = np.empty(out_cap, dtype=np.int32)
         ell = np.empty(out_cap, dtype=np.int32)
         m = lib.alga_gcps_join_verify(
             keys, n, nw, lens, afc, k, cap, tk, ti, len(tk),
-            pk, pk.shape[1], src, dst, ell, out_cap, threads)
+            pk, pk.shape[1], src, dst, ell, out_cap, threads, cand)
         if m <= out_cap:
+            from alga_tpu.utils.timers import bump
+            bump("gcps_candidates", int(cand[0]))
             return src[:m].copy(), dst[:m].copy(), ell[:m].copy()
         out_cap = m
 
@@ -466,8 +469,11 @@ def gcps_from_matches(n, matches, packed, lengths, rsoe: int, soes: int):
     out_src = np.empty(max(nm, 1), dtype=np.int32)
     out_dst = np.empty(max(nm, 1), dtype=np.int32)
     out_off = np.empty(max(nm, 1), dtype=np.int32)
+    dom = np.zeros(1, dtype=np.int64)
     m = lib.alga_gcps_from_matches(n, nm, msrc, mdst, mell, packed,
                                    packed.shape[1], lens, rsoe, soes,
-                                   out_src, out_dst, out_off)
+                                   out_src, out_dst, out_off, dom)
+    from alga_tpu.utils.timers import bump
+    bump("gcps_domination_checks", int(dom[0]))
     return OverlapGraph(n, out_src[:m].copy(), out_dst[:m].copy(),
                         out_off[:m].copy())

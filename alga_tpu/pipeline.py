@@ -66,14 +66,13 @@ def remap_paired_offsets(batch: SeqBatch, paired: bool) -> SeqBatch:
     keep = np.repeat(valid_pair, 2)
     # paired offsets before compaction
     po = np.zeros(n, dtype=np.int8)
-    if paired:
+    if paired and n:
+        # blocks of 4 slots [r, rc(r), pair(r), rc(pair(r))]; a block gets
+        # offsets [1,1,2,2] iff both of its (rc,r) pairs survived
+        assert n % 4 == 0, "paired input must arrive in blocks of 4 slots"
         vp = valid_pair
-        first_pair = np.arange(0, n, 4)
-        both = vp[first_pair // 2] & vp[first_pair // 2 + 1]
-        for b, ok in zip(first_pair, both):
-            if ok:
-                po[b : b + 2] = 1
-                po[b + 2 : b + 4] = 2
+        both = vp[0::2] & vp[1::2]
+        po.reshape(-1, 4)[both] = np.array([1, 1, 2, 2], dtype=np.int8)
     batch.paired_offset = po
     batch.valid &= keep
     nb, remap = batch.compact()
@@ -280,7 +279,8 @@ def assemble(cfg: AssemblyConfig,
     _log(f"{int(marked.sum())} prefix/duplicate reads removed")
 
     # --- remap to dense ids -------------------------------------------------
-    batch = remap_paired_offsets(batch, paired=paired_input)
+    with timers.phase("remap"):
+        batch = remap_paired_offsets(batch, paired=paired_input)
     prog.tick("remap")
     _log(f"{len(batch)} reads after remap")
 

@@ -167,12 +167,16 @@ def main() -> int:
 
     print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
 
-    # e2e FIRST and the JSON line immediately after: the tunneled device
-    # link occasionally stalls for minutes, and the headline metric must
-    # land on stdout even if a later kernel microbench gets cut off
+    # e2e FIRST and a protective JSON line immediately after: the tunneled
+    # device link occasionally stalls for minutes, and the headline metric
+    # must land on stdout even if a later kernel microbench gets cut off.
+    # The SAME object (extended with the secondary metrics) is re-printed as
+    # the FINAL stdout line so the driver's last-JSON-line parse always sees
+    # the headline (VERDICT r3 item 3).
     genome, reads = _simulate()
     n_reads = len(reads)
     best = None
+    cold_start_s = None
     for run in range(3):   # run 0 pays one-time kernel compiles; the
                            # persistent cache makes later runs the steady
                            # state — two warm runs guard against the
@@ -183,24 +187,48 @@ def main() -> int:
         print(f"[bench] e2e run{run}: {n_reads} reads in {dt:.2f}s -> "
               f"{n_reads/dt:.0f} reads/s; contigs={res.stats['count']} "
               f"n50={res.stats['n50']}", file=sys.stderr)
+        if run == 0:
+            cold_start_s = dt
         best = dt if best is None else min(best, dt)
     dt = best
     reads_per_s = n_reads / dt
 
-    print(json.dumps({
+    headline = {
         "metric": "assembly_reads_per_s",
         "value": round(reads_per_s, 1),
         "unit": "reads/s",
         "vs_baseline": round(reads_per_s / REF_BASELINE_READS_PER_S, 3),
-    }), flush=True)
+        "cold_start_s": round(cold_start_s, 2),
+    }
+    print(json.dumps(headline), flush=True)
 
     # let the tunnel drain after the e2e's bulk fetches: kernel micros
     # measured immediately after it read ~10x slow (flow-control backoff),
     # while the same kernels solo measure 7-12 Gbases/s
     time.sleep(3)
-    _kernel_bench()
-    _dp_bench()
-    _error_path_bench()
+    try:
+        gb_hash, gb_cmp = _kernel_bench()
+        headline["window_hash_gbases_per_s"] = round(gb_hash, 3)
+        headline["packed_compare_gbases_per_s"] = round(gb_cmp, 3)
+    except Exception as e:
+        print(f"[bench] kernel bench failed: {e!r}", file=sys.stderr)
+    try:
+        dp = _dp_bench()
+        if "pallas" in dp:
+            headline["pallas_dp_gcells_per_s"] = round(dp["pallas"], 3)
+        if "xla" in dp:
+            headline["xla_dp_gcells_per_s"] = round(dp["xla"], 3)
+    except Exception as e:
+        print(f"[bench] dp bench failed: {e!r}", file=sys.stderr)
+    try:
+        headline["error_path_reads_per_s"] = round(_error_path_bench(), 1)
+    except Exception as e:
+        print(f"[bench] error-path bench failed: {e!r}", file=sys.stderr)
+
+    # FINAL stdout line = the headline object with all secondary metrics
+    # folded in; nothing may print JSON after this
+    sys.stderr.flush()
+    print(json.dumps(headline), flush=True)
     return 0
 
 
@@ -249,6 +277,7 @@ def _error_path_bench():
         best = dt if best is None else min(best, dt)
     print(f"[bench] error-path e2e: {n_reads/best:.0f} reads/s (warm)",
           file=sys.stderr)
+    return n_reads / best
 
 
 if __name__ == "__main__":

@@ -959,7 +959,9 @@ int64_t alga_gcps_from_matches(
     const int32_t* mell,
     const uint32_t* packed, int64_t words, const int32_t* lengths,
     int32_t rsoe, int32_t soes,
-    int32_t* out_src, int32_t* out_dst, int32_t* out_off) {
+    int32_t* out_src, int32_t* out_dst, int32_t* out_off,
+    int64_t* out_domination_checks) {
+    int64_t dom_checks = 0;
 
     // --- regime split ------------------------------------------------------
     std::vector<MatchRec> r1, r2;
@@ -1028,6 +1030,9 @@ int64_t alga_gcps_from_matches(
         const MatchRec& a = pairs[i];
         int32_t lenA = lengths[a.src];
         int32_t offA = lenA - a.ell;
+        // telemetry parity with the device path's exp_total: every
+        // (pair, same-dst remover) combination counts as one check
+        dom_checks += (int64_t)(r_end - rp);
         bool removed = false;
         for (size_t r = rp; r < r_end && !removed; r++) {
             const MatchRec& b = r2[r];
@@ -1049,6 +1054,7 @@ int64_t alga_gcps_from_matches(
             e++;
         }
     }
+    if (out_domination_checks) *out_domination_checks = dom_checks;
     return e;
 }
 
@@ -1699,30 +1705,45 @@ void alga_join_ranges(const uint64_t* table_keys, int64_t nt,
     std::vector<uint64_t> slot_key(cap, EMPTY);
     std::vector<int64_t> slot_lo(cap), slot_cnt(cap);
 
+    // EMPTY doubles as a legal key value; a run of key==~0ull (necessarily
+    // the LAST run of the sorted table) gets a dedicated fallback entry so
+    // lookup semantics exactly match searchsorted (ADVICE r3)
+    int64_t empty_lo = 0, empty_cnt = 0;
+
     for (int64_t i = 0; i < nt;) {
         int64_t j = i;
         while (j < nt && table_keys[j] == table_keys[i]) j++;
         uint64_t k = table_keys[i];
-        uint64_t h = joinx::mix64(k) & mask;
-        while (slot_key[h] != EMPTY) h = (h + 1) & mask;
-        slot_key[h] = k;
-        slot_lo[h] = i;
-        slot_cnt[h] = j - i;
+        if (k == EMPTY) {
+            empty_lo = i;
+            empty_cnt = j - i;
+        } else {
+            uint64_t h = joinx::mix64(k) & mask;
+            while (slot_key[h] != EMPTY) h = (h + 1) & mask;
+            slot_key[h] = k;
+            slot_lo[h] = i;
+            slot_cnt[h] = j - i;
+        }
         i = j;
     }
 
     parallel_ranges(np_, threads, [&](int, int64_t a, int64_t b) {
         for (int64_t i = a; i < b; i++) {
             uint64_t k = probe_keys[i];
-            uint64_t h = joinx::mix64(k) & mask;
             int64_t lo = 0, cnt = 0;
-            while (slot_key[h] != EMPTY) {
-                if (slot_key[h] == k) {
-                    lo = slot_lo[h];
-                    cnt = slot_cnt[h];
-                    break;
+            if (k == EMPTY) {
+                lo = empty_lo;
+                cnt = empty_cnt;
+            } else {
+                uint64_t h = joinx::mix64(k) & mask;
+                while (slot_key[h] != EMPTY) {
+                    if (slot_key[h] == k) {
+                        lo = slot_lo[h];
+                        cnt = slot_cnt[h];
+                        break;
+                    }
+                    h = (h + 1) & mask;
                 }
-                h = (h + 1) & mask;
             }
             lo_out[i] = lo;
             cnt_out[i] = cnt;
@@ -1791,6 +1812,9 @@ struct HashTable {
     std::vector<uint64_t> key;
     std::vector<int64_t> lo, cnt;
     uint64_t mask = 0;
+    // dedicated fallback for key == ~0ull, which doubles as the empty-slot
+    // sentinel (ADVICE r3): the sorted build puts it in the last run
+    int64_t empty_lo = -1, empty_cnt = 0;
 
     void build(const uint64_t* tkeys, int64_t nt) {
         int64_t ndist = 0;
@@ -1805,16 +1829,27 @@ struct HashTable {
         for (int64_t i = 0; i < nt;) {
             int64_t j = i;
             while (j < nt && tkeys[j] == tkeys[i]) j++;
-            uint64_t h = joinx::mix64(tkeys[i]) & mask;
-            while (key[h] != ~0ull) h = (h + 1) & mask;
-            key[h] = tkeys[i];
-            lo[h] = i;
-            cnt[h] = j - i;
+            if (tkeys[i] == ~0ull) {
+                empty_lo = i;
+                empty_cnt = j - i;
+            } else {
+                uint64_t h = joinx::mix64(tkeys[i]) & mask;
+                while (key[h] != ~0ull) h = (h + 1) & mask;
+                key[h] = tkeys[i];
+                lo[h] = i;
+                cnt[h] = j - i;
+            }
             i = j;
         }
     }
 
     inline bool find(uint64_t k, int64_t& l, int64_t& c) const {
+        if (k == ~0ull) {
+            if (empty_lo < 0) return false;
+            l = empty_lo;
+            c = empty_cnt;
+            return true;
+        }
         uint64_t h = joinx::mix64(k) & mask;
         while (key[h] != ~0ull) {
             if (key[h] == k) { l = lo[h]; c = cnt[h]; return true; }
@@ -1858,7 +1893,7 @@ int64_t alga_gcps_join_verify(
     const uint64_t* tkeys, const int32_t* tids, int64_t nt,
     const uint32_t* packed, int64_t W,
     int32_t* out_src, int32_t* out_dst, int32_t* out_ell, int64_t out_cap,
-    int threads) {
+    int threads, int64_t* out_candidates) {
 
     gcpsjoin::HashTable ht;
     ht.build(tkeys, nt);
@@ -1866,12 +1901,14 @@ int64_t alga_gcps_join_verify(
     int T = resolve_threads(threads);
     if (force_seq() || n < 4096) T = 1;
     std::vector<std::vector<int32_t>> bufs(T);   // (B, C, ell) triples
+    std::vector<int64_t> cand(T, 0);             // join candidates per thread
     std::vector<std::thread> ths;
     int64_t blk = (n + T - 1) / T;
 
     auto job = [&](int t) {
         int64_t lo_r = t * blk, hi_r = std::min(n, (t + 1) * blk);
         auto& out = bufs[t];
+        int64_t ncand = 0;
         for (int64_t B = lo_r; B < hi_r; B++) {
             if (!af[B]) continue;
             int64_t lenB = lengths[B];
@@ -1882,6 +1919,7 @@ int64_t alga_gcps_join_verify(
             for (int64_t p = p_beg; p <= p_end; p++) {
                 int64_t tl, tc;
                 if (!ht.find(krow[p], tl, tc)) continue;
+                ncand += tc;   // telemetry parity: raw join candidates
                 int64_t ell = lenB - p;
                 for (int64_t j = tl; j < tl + tc; j++) {
                     int32_t C = tids[j];
@@ -1894,6 +1932,7 @@ int64_t alga_gcps_join_verify(
                 }
             }
         }
+        cand[t] = ncand;
     };
     if (T == 1) {
         job(0);
@@ -1902,6 +1941,11 @@ int64_t alga_gcps_join_verify(
         for (auto& th : ths) th.join();
     }
 
+    if (out_candidates) {
+        int64_t c = 0;
+        for (auto v : cand) c += v;
+        *out_candidates = c;
+    }
     int64_t total = 0;
     for (auto& b : bufs) total += (int64_t)b.size() / 3;
     if (total > out_cap) return total;     // caller re-calls with room
