@@ -1,0 +1,576 @@
+"""Scale-out single-chip GCPS: the device path without id-width gates.
+
+The fused path in graph/device_join.py packs (id, ell) sort keys into one
+uint32, which caps it at n < 2^22 reads and read length < 1024 — fine for
+the latency-critical warm bench, but it locks the big scale configs
+(7-16M read slots) onto the host C++ engine (VERDICT r3 item 1).  This
+module is the same order-free GCPS reformulation (see graph/prefsuf.py,
+ref src/GraphCreators/GraphCreatorPrefSuf.cpp:73-126,397-483) rebuilt for
+unbounded n:
+
+  * the window-key join runs in src-id BLOCKS (static block size, one
+    executable for every block) as a sort-MERGE join — window keys and
+    prefix keys are sorted together and per-run window counts come from
+    cumsum/segment arithmetic, never an O(log n)-gather searchsorted over
+    millions of probes;
+  * the post-join (ring survivors, per-pair max-ell dedup, domination
+    pruning) uses multi-operand `lax.sort` with full-width uint32 ids —
+    a 3-key comparator sort costs ~27 ns/row, irrelevant at scale next to
+    the host path it replaces;
+  * remover-eligibility counts per pair (the "offB <= offA prefix of the
+    dst run" of device_join._post_join_stage) come from ONE merged sort of
+    pairs+removers keyed (dst, off, tag) + a tagged cumsum — again no
+    per-pair binary search;
+  * the domination cross-product is expanded in fixed-capacity chunks
+    (static C3) with the `removed` bitmap donated through the chunk loop.
+
+Everything except the final (src, dst, offset) edge arrays stays on
+device.  Matches are verified by exact packed compare, so the single-u32
+hash join (vs the host's u64 double hash) changes candidate counts only,
+never the match set; the edge output is byte-identical to
+prefsuf.build_gcps_graph and comes out in the same (src, dst) order.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from alga_tpu.core import packing
+from alga_tpu.ops import hashes
+from alga_tpu.ops.bitops import _pad_words
+from alga_tpu.graph.device_join import (_round_cap, _substr_eq_rows)
+
+_SENT = jnp.uint32(0xFFFFFFFF)
+_I32MAX = np.int32(0x7FFFFFFF)
+
+
+# ---------------------------------------------------------------------------
+# stage 0: one prefix key per read
+
+@partial(jax.jit, static_argnums=(3,))
+def _prefix_keys(packed, lengths, at, k: int):
+    """uint32[n]: h1 of window [0, k) per read, or the sentinel when the
+    read cannot be a prefix side (len < k or ~at).  Hash value 0xFFFFFFFF
+    is remapped to 0xFFFFFFFE so the sentinel can never collide with a
+    real key (the window side applies the same remap)."""
+    packed = packed.astype(jnp.uint32)
+    lengths = lengths.astype(jnp.int32)
+    n = packed.shape[0]
+    a1 = jnp.uint32(int(hashes.A1))
+
+    def body(j, h):
+        word = jax.lax.dynamic_slice_in_dim(packed, j >> 4, 1, axis=1)[:, 0]
+        b = (word >> ((j & 15).astype(jnp.uint32) * 2)) & 3
+        return h * a1 + b
+
+    h1 = jax.lax.fori_loop(0, k, body, jnp.zeros(n, dtype=jnp.uint32))
+    valid = (lengths >= k) & at
+    return jnp.where(valid, jnp.minimum(h1, _SENT - 1), _SENT)
+
+
+# ---------------------------------------------------------------------------
+# stage 1: per-block sort-merge join + exact verification
+
+def _cummax_i32(x):
+    return jax.lax.cummax(x)
+
+
+@partial(jax.jit, static_argnums=(6, 7, 8, 9, 10, 11))
+def _block_join(packed, packed_pad, lengths, af, pkeys, base,
+                BS: int, k: int, nw: int, cap: int, CB: int, W: int):
+    """Matches (src, dst, ell, off) for source reads [base, base+BS).
+
+    Join = ONE 2-key sort of (window keys ++ prefix keys, payload): within
+    an equal-key run, windows (payload < BS*nw) sort before prefixes, so a
+    prefix row's candidate windows are exactly the run's window prefix —
+    counted by a tagged cumsum, located by the run-start value propagated
+    with a cummax (zero gathers in the counting phase).
+    """
+    n = packed.shape[0]          # padded store size (npad)
+    npref = pkeys.shape[0]       # real read count (prefix side)
+    blk = jax.lax.dynamic_slice_in_dim(packed, base, BS, axis=0)
+    blens = jax.lax.dynamic_slice_in_dim(lengths, base, BS, axis=0)
+    blens = blens.astype(jnp.int32)
+    baf = jax.lax.dynamic_slice_in_dim(af, base, BS, axis=0)
+
+    k1, _k2, valid = hashes.window_kmer_keys_u32(blk, blens, k, nw)
+    pos = jnp.arange(nw, dtype=jnp.int32)[None, :]
+    wvalid = valid & baf[:, None] & (pos >= blens[:, None] - cap)
+    wkeys = jnp.where(wvalid, jnp.minimum(k1, _SENT - 1), _SENT).ravel()
+
+    BSnw = BS * nw
+    NR = BSnw + npref
+    keys = jnp.concatenate([wkeys, pkeys])
+    payload = jnp.concatenate(
+        [jnp.arange(BSnw, dtype=jnp.uint32),
+         jnp.uint32(BSnw) + jnp.arange(npref, dtype=jnp.uint32)])
+    sk, sp = jax.lax.sort((keys, payload), num_keys=2)
+
+    live = sk != _SENT
+    is_pref = sp >= jnp.uint32(BSnw)
+    is_win = (~is_pref) & live
+    cumw = jnp.cumsum(is_win.astype(jnp.int32))          # inclusive
+    t = jnp.arange(NR, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones(1, bool), sk[1:] != sk[:-1]])
+    # windows-before-run, propagated to every row of the run
+    run_base = _cummax_i32(jnp.where(is_start, cumw - is_win, 0))
+    cnt_row = jnp.where(is_pref & live, cumw - run_base, 0)
+    lo_row = run_base
+
+    # window rank -> local window index (windows sorted by key)
+    wrank = cumw - 1
+    worder = jnp.zeros(BSnw, dtype=jnp.int32).at[
+        jnp.where(is_win, wrank, BSnw)].set(
+        sp.astype(jnp.int32), mode="drop")
+
+    # ---- candidate expansion (segmented iota over rows) -------------------
+    csum = jnp.cumsum(cnt_row)
+    total = csum[-1]
+    csum_ex = csum - cnt_row
+    marks = jnp.zeros(CB, dtype=jnp.int32)
+    marks = marks.at[jnp.where(cnt_row > 0, csum_ex, CB)].add(1, mode="drop")
+    j = jnp.cumsum(marks) - 1
+    tt = jnp.arange(CB, dtype=jnp.int32)
+    in_range = (tt < total) & (j >= 0)
+    nz_rank = jnp.cumsum((cnt_row > 0).astype(jnp.int32)) - 1
+    nz_ids = jnp.zeros(NR, dtype=jnp.int32).at[
+        jnp.where(cnt_row > 0, nz_rank, NR)].set(t, mode="drop")
+    # stacked row gather: (csum_ex, payload, lo) per owning row
+    rmat = jnp.stack([csum_ex, sp.astype(jnp.int32), lo_row], axis=1)
+    row = nz_ids[jnp.clip(j, 0, NR - 1)]
+    rr = rmat[row]
+    rank = tt - rr[:, 0]
+    C = rr[:, 1] - BSnw                       # global prefix read id
+    widx = jnp.clip(rr[:, 2] + rank, 0, BSnw - 1)
+    w = worder[widx]
+    bloc = w // nw                            # local src row
+    p = w - bloc * nw                         # window position == offset
+    B = base + bloc
+    lenB = blens[jnp.clip(bloc, 0, BS - 1)]
+    ell = lenB - p
+    lenC = lengths.astype(jnp.int32)[jnp.clip(C, 0, n - 1)]
+    ok = in_range & (C != B) & (lenC >= ell)
+
+    rows_b = packed_pad[jnp.clip(B, 0, n - 1)]
+    rows_c = packed_pad[jnp.clip(C, 0, n - 1)]
+    ok &= _substr_eq_rows(rows_b, p, rows_c, jnp.where(ok, ell, 0), W)
+
+    # compact to the front
+    nok = jnp.cumsum(ok.astype(jnp.int32))
+    out_pos = jnp.where(ok, nok - 1, CB)
+    Bo = jnp.zeros(CB, dtype=jnp.int32).at[out_pos].set(B, mode="drop")
+    Co = jnp.zeros(CB, dtype=jnp.int32).at[out_pos].set(C, mode="drop")
+    Eo = jnp.zeros(CB, dtype=jnp.int32).at[out_pos].set(ell, mode="drop")
+    Oo = jnp.zeros(CB, dtype=jnp.int32).at[out_pos].set(p, mode="drop")
+    return Bo, Co, Eo, Oo, nok[-1], total
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _concat_compact(stacked, counts, CM: int):
+    """[nb, 4, CB] per-block compacted matches -> global (src, dst, ell,
+    off) arrays of capacity CM plus the total count."""
+    nb, _, CB = stacked.shape
+    live = jnp.arange(CB, dtype=jnp.int32)[None, :] < counts[:, None]
+    base = jnp.cumsum(counts) - counts
+    pos = jnp.where(live, base[:, None] + jnp.arange(CB, dtype=jnp.int32),
+                    CM).ravel()
+    out = []
+    for f in range(4):
+        arr = jnp.zeros(CM, dtype=jnp.int32).at[pos].set(
+            stacked[:, f, :].ravel(), mode="drop")
+        out.append(arr)
+    return out[0], out[1], out[2], out[3], counts.sum()
+
+
+# ---------------------------------------------------------------------------
+# stage 2: wide post-join (ring + pair dedup + eligibility counts)
+
+@partial(jax.jit, static_argnums=(5, 6, 7, 8))
+def _post_wide(ms, md, me, mo, nmatch, rsoe: int, soes: int,
+               CP: int, CR: int):
+    """From match arrays (capacity CM, count nmatch) produce:
+      pairs (src, dst, ell, off) compacted to CP, sorted (src, dst) —
+        byte-identical order to the host path's lexsort;
+      removers (src, ell, off) compacted to CR, sorted (dst, off);
+      per-pair eligible-remover (cnt, group-start) and the running csum.
+    """
+    CM = ms.shape[0]
+    t = jnp.arange(CM, dtype=jnp.int32)
+    live = t < nmatch
+    msu = ms.astype(jnp.uint32)
+    mdu = md.astype(jnp.uint32)
+    meu = me.astype(jnp.uint32)
+    mou = mo.astype(jnp.uint32)
+
+    # ---- regime-1 ring: per src keep the LAST `soes` in (ell, dst) order --
+    r1 = live & (me < rsoe)
+    s_src, s_ell, s_dst, s_off = jax.lax.sort(
+        (jnp.where(r1, msu, _SENT), jnp.where(r1, meu, _SENT),
+         jnp.where(r1, mdu, _SENT), mou), num_keys=3)
+    is_end = jnp.concatenate([s_src[:-1] != s_src[1:], jnp.ones(1, bool)])
+    # last index of each src group = NEAREST end at or after t,
+    # propagated backwards (flip + cummin over end indices)
+    glast = jnp.flip(jax.lax.cummin(
+        jnp.flip(jnp.where(is_end, t, _I32MAX))))
+    ring_keep = (s_src != _SENT) & (glast - t < soes)
+
+    # ---- pair instances = ring survivors + regime-2; max-ell per pair ----
+    r2 = live & (me >= rsoe)
+    i_src = jnp.concatenate([jnp.where(ring_keep, s_src, _SENT),
+                             jnp.where(r2, msu, _SENT)])
+    i_dst = jnp.concatenate([jnp.where(ring_keep, s_dst, _SENT),
+                             jnp.where(r2, mdu, _SENT)])
+    i_ell = jnp.concatenate([s_ell, meu])
+    i_off = jnp.concatenate([s_off, mou])
+    p_src, p_dst, p_ell, p_off = jax.lax.sort(
+        (i_src, i_dst, i_ell, i_off), num_keys=3)
+    is_last = jnp.concatenate(
+        [(p_src[:-1] != p_src[1:]) | (p_dst[:-1] != p_dst[1:]),
+         jnp.ones(1, bool)])
+    pair_valid = is_last & (p_src != _SENT)
+
+    npairs_c = jnp.cumsum(pair_valid.astype(jnp.int32))
+    npairs = npairs_c[-1]
+    ppos = jnp.where(pair_valid, npairs_c - 1, CP)
+    cp_src = jnp.zeros(CP, jnp.int32).at[ppos].set(
+        p_src.astype(jnp.int32), mode="drop")
+    cp_dst = jnp.zeros(CP, jnp.int32).at[ppos].set(
+        p_dst.astype(jnp.int32), mode="drop")
+    cp_ell = jnp.zeros(CP, jnp.int32).at[ppos].set(
+        p_ell.astype(jnp.int32), mode="drop")
+    cp_off = jnp.zeros(CP, jnp.int32).at[ppos].set(
+        p_off.astype(jnp.int32), mode="drop")
+
+    # ---- removers: regime-2 sorted (dst, off); compact-by-sort ------------
+    r_dst, r_off, r_src, r_ell = jax.lax.sort(
+        (jnp.where(r2, mdu, _SENT), jnp.where(r2, mou, _SENT), msu, meu),
+        num_keys=2)
+    nrem = jnp.sum(r2.astype(jnp.int32))
+    # live removers are the first nrem rows; static-slice capacity CR
+    # (caller verifies nrem <= CR and retries otherwise)
+    rd = r_dst[:CR]
+    ro = r_off[:CR]
+    rs = jnp.where(jnp.arange(CR) < nrem, r_src[:CR], _SENT)
+    re_ = r_ell[:CR]
+
+    # ---- eligible removers per pair: merged (dst, off, tag) sort ----------
+    # a pair's eligible removers = same-dst removers with off <= p_off;
+    # removers sort before pairs at equal (dst, off) (= side='right')
+    pvc = jnp.arange(CP, dtype=jnp.int32) < npairs
+    mk_d = jnp.concatenate([rd, jnp.where(pvc, cp_dst.astype(jnp.uint32),
+                                          _SENT)])
+    mk_o = jnp.concatenate([ro, jnp.where(pvc, cp_off.astype(jnp.uint32),
+                                          _SENT)])
+    mk_t = jnp.concatenate([jnp.zeros(CR, jnp.uint32),
+                            jnp.ones(CP, jnp.uint32)])
+    mk_p = jnp.concatenate([jnp.zeros(CR, jnp.int32),
+                            jnp.arange(CP, dtype=jnp.int32)])
+    sd, so, stg, spl = jax.lax.sort((mk_d, mk_o, mk_t, mk_p), num_keys=3)
+    # removers beyond nrem carry SENT keys already, so tag + live suffices
+    isrem = (stg == 0) & (sd != _SENT)
+    cumr = jnp.cumsum(isrem.astype(jnp.int32))
+    is_dstart = jnp.concatenate([jnp.ones(1, bool), sd[1:] != sd[:-1]])
+    grp_base = _cummax_i32(jnp.where(is_dstart, cumr - isrem, 0))
+    cnt_row = cumr - grp_base
+    is_pair = (stg == 1) & (sd != _SENT)
+    cnt = jnp.zeros(CP, jnp.int32).at[
+        jnp.where(is_pair, spl, CP)].set(cnt_row, mode="drop")
+    p_rs = jnp.zeros(CP, jnp.int32).at[
+        jnp.where(is_pair, spl, CP)].set(grp_base, mode="drop")
+
+    # int32 cumsum (x64 is globally off; int64 would silently downcast
+    # anyway).  Overflow past 2^31 expansion slots is detected by the
+    # caller (csum would go negative) and routed to the host path.
+    csum = jnp.cumsum(cnt)
+    exp_total = csum[-1]
+    return (cp_src, cp_dst, cp_ell, cp_off, cnt, p_rs, csum,
+            rs.astype(jnp.int32), re_.astype(jnp.int32),
+            ro.astype(jnp.int32), npairs, nrem, exp_total)
+
+
+# ---------------------------------------------------------------------------
+# stage 3: chunked domination
+
+@partial(jax.jit, static_argnums=(8, 9), donate_argnums=(6,))
+def _dom_chunk(packed_pad, pmat, nz_csum_ex, nz_ids, nnz, rmat, removed,
+               exp_total, C3: int, W3: int, chunk_start=0):
+    """Mark pairs dominated by expansion slots [chunk_start, chunk_start+C3).
+
+    pmat: int32[CP, 4] = (src, ell, off, p_rs); rmat: int32[CR, 3] =
+    (src, ell, off) removers sorted (dst, off); nz_csum_ex int32[CP] =
+    exclusive csum over nonzero-cnt pairs (compacted, strictly increasing),
+    nz_ids their pair ids.  `removed` bool[CP] is donated and accumulated
+    across chunks.
+    """
+    CP = pmat.shape[0]
+    cs = jnp.int32(chunk_start)
+    # rank (among nonzero pairs) of the pair covering expansion slot cs
+    p0 = jnp.searchsorted(nz_csum_ex, cs, side="right").astype(jnp.int32) - 1
+    tt = jnp.arange(C3, dtype=jnp.int32)
+    gt = cs + tt
+    # pairs whose block starts inside this chunk
+    rel = nz_csum_ex - cs
+    marks = jnp.zeros(C3, dtype=jnp.int32).at[
+        jnp.where((rel > 0) & (rel < C3)
+                  & (jnp.arange(CP, dtype=jnp.int32) < nnz),
+                  rel, C3)].add(1, mode="drop")
+    j = p0 + jnp.cumsum(marks)
+    in_range = (j >= 0) & (j < nnz) & (gt < exp_total)
+    jc = jnp.clip(j, 0, CP - 1)
+    start = nz_csum_ex[jc]
+    pj = nz_ids[jc]
+    rank = gt - start
+
+    prow = pmat[jnp.clip(pj, 0, CP - 1)]
+    A = prow[:, 0]
+    ellA = prow[:, 1]
+    offA = prow[:, 2]
+    lenA = offA + ellA
+    ridx = jnp.clip(prow[:, 3] + rank, 0, rmat.shape[0] - 1)
+    rrow = rmat[ridx]
+    Br = rrow[:, 0]
+    ellB = rrow[:, 1]
+    offB = rrow[:, 2]
+    lenB = offB + ellB
+
+    later = (ellB > ellA) | ((ellB == ellA) & (Br > A))
+    cond = (in_range & later & (Br != A) & (offB > 0) & (offA >= offB)
+            & (lenB + (offA - offB) - lenA >= 0))
+    n = packed_pad.shape[0]
+    rows_a = packed_pad[jnp.clip(A, 0, n - 1)]
+    rows_b = packed_pad[jnp.clip(Br, 0, n - 1)]
+    eq = _substr_eq_rows(rows_a, jnp.maximum(offA - offB, 0), rows_b,
+                         jnp.where(cond, offB, 0), W3)
+    dominated = cond & eq
+    return removed.at[jnp.where(dominated, pj, CP)].set(True, mode="drop")
+
+
+@jax.jit
+def _nz_pairs(cnt, csum):
+    """Compact nonzero-cnt pairs: (nz_ids int32[CP], nz_csum_ex int32[CP],
+    nnz).  Padding rows get csum_ex = int32 max so chunk searches stay
+    right of every live block."""
+    CP = cnt.shape[0]
+    nz = cnt > 0
+    r = jnp.cumsum(nz.astype(jnp.int32)) - 1
+    nnz = jnp.sum(nz.astype(jnp.int32))
+    pos = jnp.where(nz, r, CP)
+    nz_ids = jnp.zeros(CP, jnp.int32).at[pos].set(
+        jnp.arange(CP, dtype=jnp.int32), mode="drop")
+    nz_csum_ex = jnp.full(CP, _I32MAX, dtype=jnp.int32).at[pos].set(
+        csum - cnt, mode="drop")
+    return nz_ids, nz_csum_ex, nnz
+
+
+@partial(jax.jit, static_argnums=(5,))
+def _final_compact(cp_src, cp_dst, cp_off, npairs, removed, CE: int):
+    CP = cp_src.shape[0]
+    keep = (jnp.arange(CP, dtype=jnp.int32) < npairs) & ~removed
+    nkeep = jnp.cumsum(keep.astype(jnp.int32))
+    pos = jnp.where(keep, nkeep - 1, CE)
+    pos = jnp.where(pos < CE, pos, CE)
+    out = jnp.zeros(3 * (CE + 1), dtype=jnp.int32)
+    out = out.at[3 * pos].set(cp_src, mode="drop")
+    out = out.at[3 * pos + 1].set(cp_dst, mode="drop")
+    out = out.at[3 * pos + 2].set(cp_off, mode="drop")
+    return out[: 3 * CE], nkeep[-1]
+
+
+# ---------------------------------------------------------------------------
+# capacity hints (same contract as device_join's: canonical capacities
+# derived from observed totals so warm runs always hit a cached executable)
+
+_hints: dict = {}
+
+
+def _hints_file():
+    import os
+    d = os.environ.get("ALGA_TPU_CACHE",
+                       os.path.expanduser("~/.cache/alga_tpu_jax"))
+    return os.path.join(d, "gcps_scale_hints.json")
+
+
+def _load_hints():
+    import json
+    try:
+        with open(_hints_file()) as f:
+            for k, v in json.load(f).items():
+                _hints[tuple(int(x) for x in k.split(","))] = tuple(v)
+    except Exception:
+        pass
+
+
+def _save_hints():
+    import json
+    import os
+    try:
+        path = _hints_file()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({",".join(str(x) for x in k): list(v)
+                       for k, v in _hints.items()}, f)
+        os.replace(tmp, path)
+    except Exception:
+        pass
+
+
+_load_hints()
+
+_C3 = 1 << 24        # domination expansion chunk
+
+
+def gcps_graph_device_scale(packed_np, lengths_np, n: int, ell_min: int,
+                            cap: int, rsoe: int, soes: int,
+                            align_from=None, align_to=None,
+                            block_elems: int = 1 << 26,
+                            cap_quantum: int = 1 << 16):
+    """Full GCPS graph on device for arbitrary n (no id-width gates).
+
+    Returns the same edge set (and row order) as
+    prefsuf.build_gcps_graph(...)."""
+    from alga_tpu.graph.overlap_graph import OverlapGraph
+    from alga_tpu.utils.timers import bump, sample_memory
+
+    lengths = np.asarray(lengths_np, dtype=np.int64)
+    max_len = int(lengths.max()) if n else 0
+    k = int(ell_min)
+    if n == 0 or max_len < k:
+        return OverlapGraph.empty(n)
+
+    af = (np.ones(n, bool) if align_from is None
+          else np.asarray(align_from, bool))
+    at = (np.ones(n, bool) if align_to is None
+          else np.asarray(align_to, bool))
+
+    nw = max_len - k + 1
+    BS = max(1 << 14, min(_round_cap(n, 1 << 14), block_elems // nw))
+    nblocks = -(-n // BS)
+    npad = nblocks * BS
+
+    # pad the sliced-by-block inputs: dynamic_slice clamps out-of-range
+    # starts, which would silently re-join (duplicate) the tail block
+    packed_h = np.asarray(packed_np)
+    if npad > n:
+        packed_h = np.vstack(
+            [packed_h, np.zeros((npad - n, packed_h.shape[1]),
+                                packed_h.dtype)])
+    packed_d = jnp.asarray(packed_h).astype(jnp.uint32)
+    lengths_d = jnp.asarray(
+        np.pad(lengths.astype(np.int32), (0, npad - n)))
+    af_d = jnp.asarray(np.pad(af, (0, npad - n)))
+    packed_pad = jax.jit(_pad_words)(packed_d)
+    packed_pad = jax.block_until_ready(packed_pad)
+
+    pkeys = _prefix_keys(packed_d[:n] if npad > n else packed_d,
+                         lengths_d[:n], jnp.asarray(at), k)
+    pkeys = jax.block_until_ready(pkeys)
+
+    W = packing.words_for(min(max_len, cap))
+    max_off = max(1, min(max_len, cap) - int(rsoe))
+    W3 = packing.words_for(min(max_off, min(max_len, cap)))
+
+    hint_key = (k, int(cap), int(rsoe), int(soes), n >> 18, BS >> 14)
+    # (max candidates per block, pairs, removers, edges kept)
+    tgt = _hints.get(hint_key, (8 * BS, 4 * n, 2 * n, 2 * n))
+
+    # ---- stage 1: per-block joins -----------------------------------------
+    per_block = []
+    counts = []
+    cb_tgt = int(tgt[0])
+    retries = 0
+    b = 0
+    while b < nblocks:
+        CB = _round_cap(cb_tgt * 5 // 4, cap_quantum)
+        Bo, Co, Eo, Oo, nok, total = _block_join(
+            packed_d, packed_pad, lengths_d, af_d, pkeys,
+            b * BS, BS, k, nw, int(cap), CB, W)
+        total_i = int(total)
+        if total_i > CB:
+            cb_tgt = max(cb_tgt, total_i)
+            retries += 1
+            bump("gcps_scale_retries", 1)
+            continue                      # redo this block with room
+        per_block.append(jnp.stack([Bo, Co, Eo, Oo]))
+        counts.append(nok)
+        cb_tgt = max(cb_tgt, total_i)
+        b += 1
+    if retries:
+        # blocks before a capacity bump ran at a smaller CB; pad their
+        # compacted outputs so the stack below is rectangular
+        CBf = _round_cap(cb_tgt * 5 // 4, cap_quantum)
+        per_block = [pb if pb.shape[1] == CBf else
+                     jnp.pad(pb, ((0, 0), (0, CBf - pb.shape[1])))
+                     for pb in per_block]
+
+    stacked = jnp.stack(per_block)                    # [nb, 4, CB]
+    cnts = jnp.stack(counts)
+    nmatch_i = int(cnts.sum())
+    CM = _round_cap(max(nmatch_i, 1), cap_quantum)
+    ms, md, me, mo, nmatch = _concat_compact(stacked, cnts, CM)
+    del stacked, per_block
+    bump("gcps_matches", nmatch_i)
+    sample_memory("gcps_scale_join", log=False)
+
+    # ---- stage 2 + 3: post-join with capacity retries ---------------------
+    pair_tgt, rem_tgt = int(tgt[1]), int(tgt[2])
+    for _ in range(8):
+        CP = _round_cap(max(pair_tgt, 1) * 5 // 4, cap_quantum)
+        CR = _round_cap(max(rem_tgt, 1) * 5 // 4, cap_quantum)
+        (cp_src, cp_dst, cp_ell, cp_off, cnt, p_rs, csum, rs, re_, ro,
+         npairs, nrem, exp_total) = _post_wide(
+            ms, md, me, mo, nmatch, int(rsoe), int(soes), CP, CR)
+        npairs_i, nrem_i = int(npairs), int(nrem)
+        if npairs_i <= CP and nrem_i <= CR:
+            break
+        pair_tgt = max(pair_tgt, npairs_i)
+        rem_tgt = max(rem_tgt, nrem_i)
+        bump("gcps_scale_retries", 1)
+    else:
+        raise RuntimeError("gcps_graph_device_scale: post-join retry "
+                           "did not converge")
+    exp_total_i = int(exp_total)
+    if exp_total_i < 0:
+        raise RuntimeError(
+            "gcps_graph_device_scale: domination expansion exceeds 2^31 "
+            "slots (int32 csum overflow) — route this input through the "
+            "host path")
+    bump("gcps_candidates", nmatch_i)
+    bump("gcps_domination_checks", exp_total_i)
+
+    pmat = jnp.stack([cp_src, cp_ell, cp_off, p_rs], axis=1)
+    rmat = jnp.stack([rs, re_, ro], axis=1)
+    nz_ids, nz_csum_ex, nnz = _nz_pairs(cnt, csum)
+    removed = jnp.zeros(CP, dtype=bool)
+    nchunks = max(1, -(-exp_total_i // _C3))
+    for c in range(nchunks):
+        removed = _dom_chunk(packed_pad, pmat, nz_csum_ex, nz_ids, nnz,
+                             rmat, removed, exp_total, _C3, W3,
+                             np.int32(c * _C3))
+    sample_memory("gcps_scale_dom", log=False)
+
+    edge_tgt = int(tgt[3])
+    for _ in range(8):
+        CE = _round_cap(max(edge_tgt, 1) * 5 // 4, cap_quantum)
+        out, nkeep = _final_compact(cp_src, cp_dst, cp_off, npairs,
+                                    removed, CE)
+        nkeep_i = int(nkeep)
+        if nkeep_i <= CE:
+            break
+        edge_tgt = max(edge_tgt, nkeep_i)
+        bump("gcps_scale_retries", 1)
+    else:
+        raise RuntimeError("gcps_graph_device_scale: edge retry "
+                           "did not converge")
+
+    _hints[hint_key] = (cb_tgt, npairs_i, nrem_i, nkeep_i)
+    _save_hints()
+
+    edges = np.asarray(out[: 3 * nkeep_i]).reshape(nkeep_i, 3)
+    return OverlapGraph(n, edges[:, 0].copy(), edges[:, 1].copy(),
+                        edges[:, 2].copy())

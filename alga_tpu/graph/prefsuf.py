@@ -236,24 +236,38 @@ def build_gcps_graph(packed, lengths, n: int, ell_min: int, cap: int,
     equals src's suffix, offset = len(src) - ell.  Deterministic."""
     lengths = np.asarray(lengths, dtype=np.int64)
     if matches is None:
+        import os as _os
+
         import jax as _jax
         n_windows = max(0, int(lengths.max(initial=0)) - int(ell_min) + 1)
-        # device join only for large batches of SHORT sequences — the scan
-        # length equals n_windows, so long sequences (contig-trim graphs)
-        # would dominate compile time (see hashes.window_keys heuristic)
-        # (the packed-sort-key post-join additionally needs ids < 2^22 and
-        # lengths < 1024 — always true for the short-read batches this
-        # path serves; bigger inputs take the host or sharded paths)
-        if (_jax.default_backend() != "cpu"
-                and len(lengths) * n_windows >= 1 << 18
-                and n_windows <= 4096
-                and n < (1 << 22)
-                and int(lengths.max(initial=0)) < 1024):
-            # full device path: join + post-join stages; only final edges
-            # cross device->host
-            from alga_tpu.graph.device_join import gcps_graph_device
-            return gcps_graph_device(packed, lengths, n, ell_min, cap,
-                                     rsoe, soes, align_from, align_to)
+        max_len = int(lengths.max(initial=0))
+        # device routing (override with ALGA_GCPS_DEVICE=small|wide|off):
+        #   * the fused single-dispatch path (device_join) for short-read
+        #     batches under its packed-sort-key gates (ids < 2^22,
+        #     len < 1024, n_windows <= 4096) — lowest warm latency;
+        #   * the scale path (device_scale) for everything larger, as long
+        #     as sequences are short enough that tail compaction isn't the
+        #     better formulation (contig-trim graphs stay on host);
+        #   * host numpy/native otherwise.
+        force = _os.environ.get("ALGA_GCPS_DEVICE", "")
+        on_accel = _jax.default_backend() != "cpu"
+        big_enough = len(lengths) * n_windows >= 1 << 18
+        fits_small = (n_windows <= 4096 and n < (1 << 22)
+                      and max_len < 1024)
+        short_reads = max_len <= cap + (cap >> 2)
+        if force != "off":
+            if (force == "small" or
+                    (not force and on_accel and big_enough and fits_small)):
+                from alga_tpu.graph.device_join import gcps_graph_device
+                return gcps_graph_device(packed, lengths, n, ell_min, cap,
+                                         rsoe, soes, align_from, align_to)
+            if (force == "wide" or
+                    (not force and on_accel and big_enough and short_reads)):
+                from alga_tpu.graph.device_scale import \
+                    gcps_graph_device_scale
+                return gcps_graph_device_scale(
+                    packed, lengths, n, ell_min, cap, rsoe, soes,
+                    align_from, align_to)
         matches = find_exact_overlaps(packed, lengths, ell_min, cap,
                                       align_from, align_to, codes=codes)
     from alga_tpu import native as _native

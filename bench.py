@@ -5,10 +5,17 @@ Prints ONE JSON line on stdout:
 
 Baseline: reference ALGA (C++/pthreads, -O3, built from /root/reference via
 its Dockerfile recipe) on the SAME deterministic dataset (200kb random
-genome, 40k x 100bp error-free reads, seed 123) measured at 8000 reads/s
-wall (40000 reads / 5.0 s, --threads 32 on the 2-core build host;
-BASELINE.md's 32-core reference figure must be re-measured on a real
-32-core host — this constant is the honest locally-measured anchor).
+genome, 40k x 100bp error-free reads, seed 123).  Measured on this 2-core
+host (2026-08-21, best of 2):
+    --threads 1: 1.59s  (25,206 reads/s)   <- the anchor
+    --threads 2: 1.74s  (23,048)           thread overhead already loses
+    --threads 4: 2.56s  (15,622)           at this dataset size
+    --threads 32: 6.57s (6,089)            oversubscription thrash
+The previous 8,000 reads/s anchor was the --threads 32 figure — a
+core-starved artifact, not a baseline (VERDICT r3 weak item 1).  The
+honest anchor is the BEST local reference configuration: threads=1.
+A real 32-core ALGA would be faster still on datasets big enough to
+scale; scale-config reference timings live in BASELINE.md.
 
 Secondary kernel metrics go to stderr.
 """
@@ -21,7 +28,7 @@ import time
 
 import numpy as np
 
-REF_BASELINE_READS_PER_S = 8000.0   # measured: see module docstring
+REF_BASELINE_READS_PER_S = 25206.0  # measured: see module docstring
 
 GENOME_LEN = 200_000
 READ_LEN = 100
