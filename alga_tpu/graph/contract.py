@@ -228,13 +228,19 @@ def cut_triangles_inplace(cg: ContractedGraph, max_offset: int) -> int:
 
 
 def simplify_contract(cg: ContractedGraph, max_offset_parallel_paths: int,
-                      log=lambda *a: None) -> None:
+                      log=lambda *a: None, chain_mask_fn=None) -> None:
     """Second-stage simplification (ref GraphSimplifier::simplifyGraph,
     GraphSimplifier.cpp:49-82): alternate triangle cutting and path
-    contraction until no contraction happens."""
+    contraction until no contraction happens.
+
+    `chain_mask_fn(cg)` optionally computes the indeg-1/outdeg-1 chain
+    mask externally (the sharded pointer-doubling discovery in
+    parallel/sharded_contract.py) — it must equal the host derivation."""
     while True:
         ncut = cut_triangles_inplace(cg, max_offset_parallel_paths)
-        ncontr = cg.contract_path_nodes(max_offset_parallel_paths)
+        mask = chain_mask_fn(cg) if chain_mask_fn is not None else None
+        ncontr = cg.contract_path_nodes(max_offset_parallel_paths,
+                                        path_node=mask)
         log(f"simplify_contract: cut {ncut}, contracted {ncontr}")
         if ncontr == 0:
             break

@@ -103,16 +103,16 @@ def chain_terminals_sharded(mesh: Mesh, g: OverlapGraph):
     act0 = (chain & chain[np.clip(ptr0, 0, npad - 1)]).astype(np.int32)
     tab = np.stack([ptr0, w0, r0, act0], axis=1).astype(np.int32)
 
+    from alga_tpu.parallel.sharded_gcps import _host, _put
+
     step = _doubling_fn(mesh, d, per)
-    tab_d = jax.device_put(
-        jnp.asarray(tab),
-        jax.sharding.NamedSharding(mesh, P("r", None)))
+    tab_d = _put(tab, jax.sharding.NamedSharding(mesh, P("r", None)))
     max_rounds = max(1, int(np.ceil(np.log2(max(npad, 2)))) + 1)
     for _ in range(max_rounds):
         tab_d, nact = step(tab_d)
-        if int(np.asarray(nact)[0]) == 0:
+        if int(_host(nact)[0]) == 0:
             break
-    out = np.asarray(tab_d)
+    out = _host(tab_d)
     terminal = out[:n, 0].copy()
     wsum = out[:n, 1].copy()
     rank = out[:n, 2].copy()

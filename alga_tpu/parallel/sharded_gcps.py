@@ -548,8 +548,17 @@ def gcps_graph_sharded(mesh: Mesh, packed_np, lengths_np, n: int,
         int(soes))
 
     # ---- stage 1: route records, owner-local sort, candidate counts -----
+    # ALGA_SHARDED_TINY_CAPS shrinks the initial capacity estimates so the
+    # overflow-retry loops fire deterministically (dryrun/test coverage of
+    # the retry machinery, VERDICT r3 item 7)
+    import os as _os
+    _shrink = int(_os.environ.get("ALGA_SHARDED_TINY_CAPS", "0") or 0)
+    from alga_tpu.utils.timers import bump as _bump
     s_suf = _round_cap(per * num_windows // d * 13 // 10 + 64)
     s_pre = _round_cap(per // d * 13 // 10 + 64)
+    if _shrink:
+        s_suf = s_pre = 256
+    n_s1 = 0
     while True:
         suf, pre, lo, counts, cand_tot, ovf = s1f(s_suf, s_pre)(
             packed_d, lengths_d, af_d, at_d)
@@ -557,24 +566,34 @@ def gcps_graph_sharded(mesh: Mesh, packed_np, lengths_np, n: int,
             break
         s_suf *= 2
         s_pre *= 2
+        n_s1 += 1
+        _bump("sharded_gcps_retries", 1)
     c_cap = _round_cap(int(_host(cand_tot).max()))
 
     # ---- stage 2: expand + fetch rows + exact verify ---------------------
     f2 = _round_cap(2 * c_cap // d * 3 // 2 + 64)
+    if _shrink:
+        f2 = 256
+    n_s2 = 0
     while True:
         match_buf, mcnt, ovf = s2f(c_cap, f2)(
             packed_d, lengths_d, suf, pre, lo, counts)
         if int(_host(ovf).max()) == 0:
             break
         f2 *= 2
+        n_s2 += 1
+        _bump("sharded_gcps_retries", 1)
     s_match = _round_cap(int(_host(mcnt).max()))
 
     # ---- stage 3: route by src owner; ring + dedup; count by dst owner ---
+    n_s3 = 0
     while True:
         pairs, removers, prcnt, ovf = s3f(s_match)(match_buf)
         if int(_host(ovf).max()) == 0:
             break
         s_match *= 2
+        n_s3 += 1
+        _bump("sharded_gcps_retries", 1)
     prcnt = _host(prcnt).reshape(d, 2, d)
     s_pair = _round_cap(int(prcnt[:, 0, :].max()))
     s_rem = _round_cap(int(prcnt[:, 1, :].max()))
@@ -588,12 +607,39 @@ def gcps_graph_sharded(mesh: Mesh, packed_np, lengths_np, n: int,
     # ---- stage 5: domination expand + fetch + compare + compact ----------
     # domination requests cluster on hot reads, so start with 2x slack
     f5 = _round_cap(2 * c3 // d * 2 + 64)
+    if _shrink:
+        f5 = 256
+    n_s5 = 0
     while True:
         out, nkeep, ovf = s5f(c3, f5)(
             packed_d, lengths_d, pairs_r, rem_sorted, r_start, cnt)
         if int(_host(ovf).max()) == 0:
             break
         f5 *= 2
+        n_s5 += 1
+        _bump("sharded_gcps_retries", 1)
+
+    # ---- collective-volume ledger (VERDICT r3 item 10) -------------------
+    # gross bytes moved by each all_to_all stage at the capacities actually
+    # executed (retries included): a _route moves one [d, S, F] u32 buffer
+    # per device; a fetch moves a request [d, F, 1] plus a response
+    # [d, F, w_full+1].  Cross-device traffic is (d-1)/d of gross (the
+    # diagonal block stays local).  Counters are cumulative per process.
+    u32 = 4
+    ledger = {
+        "s1_route_windows": d * d * s_suf * 4 * u32 * (n_s1 + 1),
+        "s1_route_prefixes": d * d * s_pre * 4 * u32 * (n_s1 + 1),
+        "s2_fetch_rows": d * d * f2 * (1 + w_full + 1) * u32 * (n_s2 + 1),
+        "s3_route_matches": d * d * s_match * 4 * u32 * (n_s3 + 1),
+        "s4_route_pairs": d * d * (s_pair + s_rem) * 4 * u32,
+        "s5_fetch_rows": d * d * f5 * (1 + w_full + 1) * u32 * (n_s5 + 1),
+    }
+    total_bytes = sum(ledger.values())
+    cross = total_bytes * (d - 1) // d if d > 1 else 0
+    for k_, v_ in ledger.items():
+        _bump(f"a2a_bytes_{k_}", v_)
+    _bump("a2a_bytes_gcps_total", total_bytes)
+    _bump("a2a_bytes_gcps_cross_device", cross)
 
     out = _host(out).reshape(d, -1, 3)
     nkeep = _host(nkeep)

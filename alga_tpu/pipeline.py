@@ -79,12 +79,15 @@ def remap_paired_offsets(batch: SeqBatch, paired: bool) -> SeqBatch:
     return nb
 
 
-def _gcps_mesh(cfg: TunedConfig):
+def _gcps_mesh(cfg: TunedConfig, mesh=None):
     """Mesh for the de-replicated sharded GCPS, or None for single-device.
 
+    An explicitly supplied mesh (the distributed driver's) always wins.
     "auto" shards whenever more than one device is visible (a real pod
     slice, or the virtual CPU mesh in tests); "on" forces a mesh even over
     one device; "off" always takes the single-device path."""
+    if mesh is not None:
+        return mesh
     if cfg.sharded_gcps == "off":
         return None
     import jax
@@ -98,7 +101,8 @@ def _gcps_mesh(cfg: TunedConfig):
     return None
 
 
-def build_graph_phase(batch: SeqBatch, cfg: TunedConfig, timers: PhaseTimer):
+def build_graph_phase(batch: SeqBatch, cfg: TunedConfig, timers: PhaseTimer,
+                      mesh=None):
     """GCPS graph construction incl. the short-read removal of
     ref main.cpp:253-266."""
     min_len = cfg.li_kmer_intervals + cfg.li_kmer_length
@@ -107,7 +111,7 @@ def build_graph_phase(batch: SeqBatch, cfg: TunedConfig, timers: PhaseTimer):
     if too_short.any():
         _log(f"removed {int(too_short.sum())} reads shorter than {min_len}")
 
-    mesh = _gcps_mesh(cfg)
+    mesh = _gcps_mesh(cfg, mesh)
     with timers.phase("graph_creator_prefsuf"):
         if mesh is not None:
             from alga_tpu.parallel.sharded_gcps import gcps_graph_sharded
@@ -211,7 +215,15 @@ def run_supplement(g, batch: SeqBatch, tcfg: TunedConfig):
 
 def assemble(cfg: AssemblyConfig,
              file1_seqs: list[str] | None = None,
-             file2_seqs: list[str] | None = None) -> AssemblyResult:
+             file2_seqs: list[str] | None = None,
+             *, batch: SeqBatch | None = None, paired: bool | None = None,
+             mesh=None) -> AssemblyResult:
+    """End-to-end assembly.  `batch`/`paired` inject a pre-built SeqBatch
+    (the distributed driver's gathered ingest); `mesh` runs the device
+    phases (GCPS, simplification, contraction discovery) sharded over it —
+    in a multi-process job every process calls this with the same global
+    mesh and the host phases run replicated (deterministic, so every
+    process computes identical contigs)."""
     timers = PhaseTimer()
     timers.start("total")
     reset_counters()
@@ -226,7 +238,9 @@ def assemble(cfg: AssemblyConfig,
             rna=cfg.rna,
             str_period=cfg.str_period_threshold,
         )
-        if file1_seqs is None:
+        if batch is not None:
+            paired_input = bool(paired)
+        elif file1_seqs is None:
             # parallel native ingest (P7): file bytes -> byte matrix ->
             # fused preprocess+pack, no list[str] materialization
             paired_input = bool(cfg.file2)
@@ -293,7 +307,7 @@ def assemble(cfg: AssemblyConfig,
         g = ser.read_reference_graph(ck_before)
         _log(f"deserialized graph from {ck_before}: {g.num_edges} edges")
     else:
-        g = build_graph_phase(batch, tcfg, timers)
+        g = build_graph_phase(batch, tcfg, timers, mesh=mesh)
         if tcfg.serialize_graph:
             ser.write_reference_graph(g, ck_before)
             _log(f"serialized graph to {ck_before}")
@@ -311,7 +325,7 @@ def assemble(cfg: AssemblyConfig,
 
     # --- simplify + contract + walk ----------------------------------------
     from alga_tpu import native as native_mod
-    use_native = cfg.use_native and native_mod.available()
+    use_native = cfg.use_native and native_mod.available() and mesh is None
 
     ck_after = (f"{ck_prefix}_mopp{tcfg.max_offset_parallel_paths}"
                 f"_modb{tcfg.max_offset_dangling_branches}"
@@ -323,7 +337,14 @@ def assemble(cfg: AssemblyConfig,
         _log(f"deserialized simplified graph from {ck_after}")
     else:
         with timers.phase("graph_simplifier"):
-            if use_native:
+            if mesh is not None:
+                from alga_tpu.parallel.sharded_simplify import \
+                    simplify_graph_old_sharded
+                g = simplify_graph_old_sharded(
+                    mesh, g, batch, tcfg.max_offset_parallel_paths,
+                    tcfg.max_offset_dangling_branches,
+                    threads=tcfg.threads, log=_log)
+            elif use_native:
                 g = native_mod.simplify_graph_old(
                     g, batch, tcfg.max_offset_parallel_paths,
                     tcfg.max_offset_dangling_branches,
@@ -352,10 +373,22 @@ def assemble(cfg: AssemblyConfig,
         with timers.phase("contract"):
             # ref main.cpp:412-419: contract loop, then a final
             # retainOnlySmallestOffset (:429) fixes walk-time adjacency order
+            chain_fn = None
+            if mesh is not None:
+                # chain-node discovery on-mesh (pointer doubling); the host
+                # applies only the splices
+                from alga_tpu.parallel.sharded_contract import \
+                    chain_terminals_sharded
+
+                def chain_fn(cg_):
+                    m, _t, _r, _w = chain_terminals_sharded(
+                        mesh, cg_.to_overlap_graph())
+                    return m
             cg = ContractedGraph(g)
             for _ in range(2):
                 cg.retain_min_offset_inplace()
-                simplify_contract(cg, tcfg.max_offset_parallel_paths, log=_log)
+                simplify_contract(cg, tcfg.max_offset_parallel_paths,
+                                  log=_log, chain_mask_fn=chain_fn)
             cg.retain_min_offset_inplace()
 
         with timers.phase("contig_creator"):

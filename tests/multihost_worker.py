@@ -71,6 +71,23 @@ def main() -> int:
         assert np.array_equal(vd_h[:nrows], ref.valid)
         assert not vd_h[nrows:].any()          # padding rows invalid
         print(f"proc {pid}: INGEST OK rows={nrows}", flush=True)
+
+    # --- distributed END-TO-END: multi-process ingest -> sharded GCPS /
+    # simplify / contract discovery -> contigs, every process writing its
+    # own copy for the parent's byte-parity check vs single-process
+    # assemble() (VERDICT r3 item 2) ------------------------------------
+    e1 = os.environ.get("ALGA_TEST_E2E_F1")
+    if e1:
+        from alga_tpu.config import AssemblyConfig
+        from alga_tpu.parallel.distributed import assemble_distributed
+
+        e2 = os.environ.get("ALGA_TEST_E2E_F2") or None
+        outp = os.environ["ALGA_TEST_E2E_OUT"] + f".proc{pid}"
+        cfg = AssemblyConfig(file1=e1, file2=e2, output=outp)
+        res = assemble_distributed(cfg, write_output=False)
+        from alga_tpu.io import output as output_mod
+        output_mod.write_contigs(res.contigs, outp)
+        print(f"proc {pid}: E2E OK contigs={len(res.contigs)}", flush=True)
     return 0
 
 

@@ -61,3 +61,64 @@ def test_two_process_sharded_gcps(tmp_path):
         assert p.returncode == 0, f"worker failed:\n{out}"
         assert "OK edges=" in out
         assert "INGEST OK" in out
+
+
+def test_two_process_distributed_e2e(tmp_path):
+    """One command runs ingest -> sharded graph phases -> contigs across 2
+    processes; contigs.fasta is byte-identical to single-process assemble
+    on the same files, and identical across processes (VERDICT r3 item 2)."""
+    import numpy as np
+
+    from tests.simulate import random_genome, simulate_paired
+
+    rng = np.random.default_rng(31)
+    genome = random_genome(rng, 12_000)
+    r1, r2 = simulate_paired(genome, rng, read_len=100, insert=300,
+                             coverage=10.0)
+    for name, rs in (("e1", r1), ("e2", r2)):
+        with open(tmp_path / f"{name}.fastq", "w") as f:
+            for i, r in enumerate(rs):
+                f.write(f"@p{i}\n{r}\n+\n{'I' * len(r)}\n")
+
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = _ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["ALGA_TEST_E2E_F1"] = str(tmp_path / "e1.fastq")
+    env["ALGA_TEST_E2E_F2"] = str(tmp_path / "e2.fastq")
+    env["ALGA_TEST_E2E_OUT"] = str(tmp_path / "dist.fasta")
+    worker = os.path.join(_ROOT, "tests", "multihost_worker.py")
+
+    procs = [
+        subprocess.Popen([sys.executable, worker, str(pid), "2", str(port)],
+                         env=env, stdout=subprocess.PIPE,
+                         stderr=subprocess.STDOUT, text=True)
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=840)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("multihost e2e workers timed out\n" + "\n".join(outs))
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}"
+        assert "E2E OK" in out
+
+    # single-process reference on the same files
+    from alga_tpu.config import AssemblyConfig
+    from alga_tpu.pipeline import assemble_to_file
+
+    single = tmp_path / "single.fasta"
+    assemble_to_file(AssemblyConfig(file1=str(tmp_path / "e1.fastq"),
+                                    file2=str(tmp_path / "e2.fastq"),
+                                    output=str(single)))
+    want = single.read_bytes()
+    assert len(want) > 0
+    for pid in range(2):
+        got = (tmp_path / f"dist.fasta.proc{pid}").read_bytes()
+        assert got == want, f"proc {pid} contigs differ from single-process"
