@@ -437,6 +437,17 @@ def gcps_graph_device_scale(packed_np, lengths_np, n: int, ell_min: int,
     from alga_tpu.graph.overlap_graph import OverlapGraph
     from alga_tpu.utils.timers import bump, sample_memory
 
+    import os as _os
+    import sys as _sys
+    import time as _time
+    _verbose = bool(_os.environ.get("ALGA_SCALE_LOG"))
+    _t00 = _time.perf_counter()
+
+    def _vlog(msg):
+        if _verbose:
+            print(f"[device_scale +{_time.perf_counter() - _t00:7.1f}s] "
+                  f"{msg}", file=_sys.stderr, flush=True)
+
     lengths = np.asarray(lengths_np, dtype=np.int64)
     max_len = int(lengths.max()) if n else 0
     k = int(ell_min)
@@ -470,6 +481,8 @@ def gcps_graph_device_scale(packed_np, lengths_np, n: int, ell_min: int,
     pkeys = _prefix_keys(packed_d[:n] if npad > n else packed_d,
                          lengths_d[:n], jnp.asarray(at), k)
     pkeys = jax.block_until_ready(pkeys)
+    _vlog(f"store on device: n={n} npad={npad} BS={BS} blocks={nblocks} "
+          f"nw={nw}")
 
     W = packing.words_for(min(max_len, cap))
     max_off = max(1, min(max_len, cap) - int(rsoe))
@@ -499,6 +512,7 @@ def gcps_graph_device_scale(packed_np, lengths_np, n: int, ell_min: int,
         per_block.append(jnp.stack([Bo, Co, Eo, Oo]))
         counts.append(nok)
         cb_tgt = max(cb_tgt, total_i)
+        _vlog(f"block {b + 1}/{nblocks}: candidates={total_i} (CB={CB})")
         b += 1
     if retries:
         # blocks before a capacity bump ran at a smaller CB; pad their
@@ -514,14 +528,18 @@ def gcps_graph_device_scale(packed_np, lengths_np, n: int, ell_min: int,
     CM = _round_cap(max(nmatch_i, 1), cap_quantum)
     ms, md, me, mo, nmatch = _concat_compact(stacked, cnts, CM)
     del stacked, per_block
+    _vlog(f"matches={nmatch_i} (CM={CM})")
     bump("gcps_matches", nmatch_i)
     sample_memory("gcps_scale_join", log=False)
 
     # ---- stage 2 + 3: post-join with capacity retries ---------------------
     pair_tgt, rem_tgt = int(tgt[1]), int(tgt[2])
     for _ in range(8):
-        CP = _round_cap(max(pair_tgt, 1) * 5 // 4, cap_quantum)
-        CR = _round_cap(max(rem_tgt, 1) * 5 // 4, cap_quantum)
+        # pairs/removers are subsets of the matches: capacities above CM
+        # (2*CM for pairs, which are picked from a 2*CM instance array)
+        # are never needed and would break the [:CR] static slices
+        CP = min(_round_cap(max(pair_tgt, 1) * 5 // 4, cap_quantum), 2 * CM)
+        CR = min(_round_cap(max(rem_tgt, 1) * 5 // 4, cap_quantum), CM)
         (cp_src, cp_dst, cp_ell, cp_off, cnt, p_rs, csum, rs, re_, ro,
          npairs, nrem, exp_total) = _post_wide(
             ms, md, me, mo, nmatch, int(rsoe), int(soes), CP, CR)
@@ -530,6 +548,7 @@ def gcps_graph_device_scale(packed_np, lengths_np, n: int, ell_min: int,
             break
         pair_tgt = max(pair_tgt, npairs_i)
         rem_tgt = max(rem_tgt, nrem_i)
+        _vlog(f"post-join retry: pairs={npairs_i} removers={nrem_i}")
         bump("gcps_scale_retries", 1)
     else:
         raise RuntimeError("gcps_graph_device_scale: post-join retry "
@@ -548,6 +567,8 @@ def gcps_graph_device_scale(packed_np, lengths_np, n: int, ell_min: int,
     nz_ids, nz_csum_ex, nnz = _nz_pairs(cnt, csum)
     removed = jnp.zeros(CP, dtype=bool)
     nchunks = max(1, -(-exp_total_i // _C3))
+    _vlog(f"pairs={npairs_i} removers={nrem_i} exp_total={exp_total_i} "
+          f"dom_chunks={nchunks}")
     for c in range(nchunks):
         removed = _dom_chunk(packed_pad, pmat, nz_csum_ex, nz_ids, nnz,
                              rmat, removed, exp_total, _C3, W3,
@@ -571,6 +592,8 @@ def gcps_graph_device_scale(packed_np, lengths_np, n: int, ell_min: int,
     _hints[hint_key] = (cb_tgt, npairs_i, nrem_i, nkeep_i)
     _save_hints()
 
+    _vlog(f"edges={nkeep_i} (CE={CE}); fetching")
     edges = np.asarray(out[: 3 * nkeep_i]).reshape(nkeep_i, 3)
+    _vlog("done")
     return OverlapGraph(n, edges[:, 0].copy(), edges[:, 1].copy(),
                         edges[:, 2].copy())

@@ -516,13 +516,9 @@ def simplify_graph_old_sharded(mesh: Mesh, g: OverlapGraph, batch,
     avg = batch.avg_read_length()
 
     mopp_scaled = int(max_offset_parallel_paths * avg / 100.0)
-    from alga_tpu import native as native_mod
-    if native_mod.available():
-        g = native_mod.mst_pass(g, mopp_scaled, threads)
-    else:
-        from alga_tpu.graph import simplify as simplify_mod
-        g = simplify_mod.remove_short_parallel_paths(g, mopp_scaled, threads)
-    log("[sharded] short parallel paths removed (host pass)")
+    g = mst_pass_sharded(mesh, g, mopp_scaled, threads, log=log)
+    log("[sharded] short parallel paths removed (mesh footprints + "
+        "wave pops)")
     batch.valid &= ~g.isolated_nodes()
     g = retain_min_offset_sharded(mesh, g)
 
@@ -543,3 +539,241 @@ def simplify_graph_old_sharded(mesh: Mesh, g: OverlapGraph, batch,
             break
     batch.valid &= ~g.isolated_nodes()
     return g.sorted_by_src_offset()
+
+
+# ---------------------------------------------------------------------------
+# sharded MST bubble pop (VERDICT r3 item 6): removeShortParallelPaths /
+# tryToRemoveShortPathsMST (ref GraphSimplifier.cpp:351-518).
+#
+# The native engine proved (native/alga_host.cpp:246-336) that seeds whose
+# footprints — ball(seed, max_offset) plus its out-neighbors, computed on
+# the frozen pass-start graph — are disjoint commute, so wave-ordered
+# execution is bit-identical to the sequential seed-id-ascending pass.
+# Here the footprint DISCOVERY (the dominant cost: one bounded Dijkstra
+# per fork seed) runs on the mesh as label relaxation:
+#
+#   labels (seed, node, dist) live on owner(node); each round every
+#   improved label with dist <= max_offset expands through the shard-LOCAL
+#   adjacency rows (edges are sharded by src owner, so expansion needs no
+#   remote fetch), new labels ride ONE all_to_all to owner(neighbor), and
+#   a (seed, node, dist·2|tag) sort + segment-min merges them into the
+#   shard's best-distance table.  Convergence = psum'd improved count 0.
+#
+# The host then applies only the per-wave pops (cheap pointer surgery,
+# identical to graph/simplify._mst_pop) in wave order — within a wave the
+# order is free, across waves it reproduces seed order exactly.
+
+
+def _mst_round_factory(mesh: Mesh, d: int, per: int, K: int, mopp: int):
+    spec_r = P("r")
+    spec_rn = P("r", None)
+
+    @lru_cache(maxsize=8)
+    def round_fn(LS: int, BS_: int, SR: int):
+        @jax.jit
+        @partial(jax.shard_map, mesh=mesh, check_vma=False,
+                 in_specs=(spec_rn, spec_rn, spec_rn),
+                 out_specs=(spec_rn, spec_rn, spec_r, spec_r))
+        def rnd(adj_l, frontier_l, bests_l):
+            my = jax.lax.axis_index("r")
+            base = (my * per).astype(jnp.int32)
+            SENTu = jnp.uint32(_SENT)
+
+            # ---- expand local frontier through local adjacency ----------
+            f_seed = frontier_l[:, 0]
+            f_node = frontier_l[:, 1]
+            f_dist = frontier_l[:, 2]
+            f_ok = (f_seed != SENTu) & (f_dist <= jnp.uint32(mopp))
+            lid = jnp.clip(f_node.astype(jnp.int32) - base, 0, per - 1)
+            rows = adj_l[lid]                       # [LS, 2K]
+            nb = rows[:, 0::2]                      # [LS, K]
+            off = rows[:, 1::2]
+            cand_ok = f_ok[:, None] & (nb != SENTu)
+            nd = jnp.minimum(f_dist[:, None] + off, jnp.uint32(1 << 30))
+            c_seed = jnp.broadcast_to(f_seed[:, None], nb.shape).ravel()
+            c_node = nb.ravel()
+            c_dist = nd.ravel()
+            c_ok = cand_ok.ravel()
+
+            owner = jnp.where(c_ok,
+                              (c_node.astype(jnp.int32) //
+                               jnp.int32(per)), d)
+            payload = jnp.stack(
+                [jnp.where(c_ok, c_seed, SENTu),
+                 jnp.where(c_ok, c_node, SENTu),
+                 c_dist], axis=1)
+            recv, ovf_r = _route(owner, payload, d, SR)
+
+            # ---- merge received labels into the best table --------------
+            NB = BS_ + recv.shape[0]
+            m_seed = jnp.concatenate([bests_l[:, 0], recv[:, 0]])
+            m_node = jnp.concatenate([bests_l[:, 1], recv[:, 1]])
+            # dist key doubled with a tag bit: existing bests (tag 0) win
+            # ties so a non-improving duplicate is never "improved"
+            m_key = jnp.concatenate(
+                [jnp.where(bests_l[:, 0] != SENTu,
+                           bests_l[:, 2] * 2, SENTu),
+                 jnp.where(recv[:, 0] != SENTu,
+                           recv[:, 2] * 2 + 1, SENTu)])
+            s_seed, s_node, s_key = jax.lax.sort(
+                (jnp.where(m_key != SENTu, m_seed, SENTu),
+                 jnp.where(m_key != SENTu, m_node, SENTu),
+                 m_key), num_keys=3)
+            is_first = jnp.concatenate(
+                [jnp.ones(1, bool),
+                 (s_seed[1:] != s_seed[:-1]) | (s_node[1:] != s_node[:-1])])
+            live = s_seed != SENTu
+            keep = is_first & live
+            improved = keep & (s_key & 1).astype(bool)
+
+            # compact the new best table
+            nkeep = jnp.cumsum(keep.astype(jnp.int32))
+            pos = jnp.where(keep, nkeep - 1, BS_)
+            nb_l = jnp.full((BS_, 3), _SENT, dtype=jnp.uint32)
+            nb_l = nb_l.at[pos, 0].set(s_seed, mode="drop")
+            nb_l = nb_l.at[pos, 1].set(s_node, mode="drop")
+            nb_l = nb_l.at[pos, 2].set(s_key // 2, mode="drop")
+            ovf_b = (nkeep[-1] > BS_).astype(jnp.int32)
+
+            # compact the improved labels into the next frontier
+            nimp = jnp.cumsum(improved.astype(jnp.int32))
+            fpos = jnp.where(improved, nimp - 1, LS)
+            nf_l = jnp.full((LS, 3), _SENT, dtype=jnp.uint32)
+            nf_l = nf_l.at[fpos, 0].set(s_seed, mode="drop")
+            nf_l = nf_l.at[fpos, 1].set(s_node, mode="drop")
+            nf_l = nf_l.at[fpos, 2].set(s_key // 2, mode="drop")
+            ovf_f = (nimp[-1] > LS).astype(jnp.int32)
+
+            nactive = jax.lax.psum(nimp[-1], "r")
+            ovf = jax.lax.psum(ovf_r + ovf_b + ovf_f, "r")
+            return nf_l, nb_l, nactive[None], ovf[None]
+        return rnd
+    return round_fn
+
+
+def mst_footprints_sharded(mesh: Mesh, g: OverlapGraph, seeds: np.ndarray,
+                           max_offset: int):
+    """(seed_idx int32[M], node int32[M]): per-seed footprint pairs by
+    label relaxation over the mesh (seed_idx indexes into `seeds`)."""
+    d = int(mesh.devices.size)
+    n = g.n
+    npad = -(-n // d) * d
+    per = npad // d
+
+    outdeg = np.bincount(g.src, minlength=npad)
+    K = int(outdeg.max()) if len(outdeg) else 0
+    K = max(K, 1)
+    if K > 64:
+        raise ValueError(f"mst_footprints_sharded: out-degree {K} > 64")
+
+    # padded adjacency table [npad, 2K]: (dst, offset) pairs, SENT-filled
+    gs = g.sorted_by_src_offset()
+    adj = np.full((npad, 2 * K), _SENT, dtype=np.uint32)
+    starts = np.cumsum(np.bincount(gs.src, minlength=npad)) - np.bincount(
+        gs.src, minlength=npad)
+    sl = np.arange(len(gs.src)) - starts[gs.src]
+    adj[gs.src, 2 * sl] = gs.dst.astype(np.uint32)
+    adj[gs.src, 2 * sl + 1] = gs.offset.astype(np.uint32)
+
+    ns = len(seeds)
+    if ns == 0:
+        z = np.zeros(0, dtype=np.int32)
+        return z, z.copy()
+
+    shard_rn = NamedSharding(mesh, P("r", None))
+    adj_d = _put(adj, shard_rn)
+
+    # seed labels (seed_idx, node=seed, dist 0) bucketed by owner shard
+    own = seeds // per
+    from alga_tpu.utils.timers import bump
+    round_fn = _mst_round_factory(mesh, d, per, K, int(max_offset))
+
+    per_seed_guess = 48
+    LS = _round_cap(max(64, ns * 2 // d))
+    BS_ = _round_cap(max(256, ns * per_seed_guess // d))
+    SR = _round_cap(max(64, LS * min(K, 4) // d))
+    for _attempt in range(10):
+        # initial frontier/bests: the seed labels
+        f0 = np.full((d, LS, 3), _SENT, dtype=np.uint32)
+        b0 = np.full((d, BS_, 3), _SENT, dtype=np.uint32)
+        fill = np.zeros(d, dtype=np.int64)
+        for i, sd in enumerate(seeds):
+            o = int(own[i])
+            f0[o, fill[o], 0] = i
+            f0[o, fill[o], 1] = sd
+            f0[o, fill[o], 2] = 0
+            b0[o, fill[o]] = f0[o, fill[o]]
+            fill[o] += 1
+        if fill.max() > LS or fill.max() > BS_:
+            LS = _round_cap(int(fill.max()) * 2)
+            BS_ = max(BS_, LS)
+            continue
+        frontier = _put(f0.reshape(d * LS, 3), shard_rn)
+        bests = _put(b0.reshape(d * BS_, 3), shard_rn)
+        rf = round_fn(LS, BS_, SR)
+        ok = True
+        for _round in range(max(256, 2 * int(max_offset))):
+            frontier, bests, nact, ovf = rf(adj_d, frontier, bests)
+            if int(_host(ovf).max()) > 0:
+                LS *= 2
+                BS_ *= 2
+                SR *= 2
+                bump("sharded_mst_retries", 1)
+                ok = False
+                break
+            if int(_host(nact).max()) == 0:
+                break
+        else:
+            raise RuntimeError("mst_footprints_sharded did not converge")
+        if ok:
+            break
+    else:
+        raise RuntimeError("mst_footprints_sharded: capacity retry "
+                           "did not converge")
+
+    out = _host(bests)
+    live = out[:, 0] != _SENT
+    return (out[live, 0].astype(np.int32), out[live, 1].astype(np.int32))
+
+
+def mst_pass_sharded(mesh: Mesh, g: OverlapGraph, mopp_scaled: int,
+                     threads: int = 6,
+                     log=lambda *a: None) -> OverlapGraph:
+    """removeShortParallelPaths with mesh-side footprint discovery and
+    host-side per-wave pops; bit-identical to the host engines."""
+    from alga_tpu.graph.simplify import _Adjacency, _mst_pop
+    from alga_tpu.utils.timers import bump
+
+    nrange = workload_covered(g.n, 50 * threads)
+    outdeg = np.bincount(g.src, minlength=g.n)
+    seeds = np.flatnonzero(outdeg[:nrange] >= 2).astype(np.int32)
+    if len(seeds) == 0:
+        return g.sorted_by_src_offset()
+
+    sidx, snode = mst_footprints_sharded(mesh, g, seeds, mopp_scaled)
+
+    # wave layering (host, cheap): wave(i) = 1 + max wave of any EARLIER
+    # seed sharing a footprint node (native/alga_host.cpp:307-318)
+    order = np.argsort(sidx, kind="stable")
+    sidx, snode = sidx[order], snode[order]
+    node_wave = np.full(g.n, -1, dtype=np.int32)
+    waves = np.zeros(len(seeds), dtype=np.int32)
+    bnd = np.searchsorted(sidx, np.arange(len(seeds) + 1))
+    for i in range(len(seeds)):
+        nodes = snode[bnd[i]:bnd[i + 1]]
+        w = int(node_wave[nodes].max(initial=-1)) + 1
+        waves[i] = w
+        node_wave[nodes] = w
+    nw = int(waves.max()) + 1
+    bump("sharded_mst_waves", nw)
+    log(f"[sharded] MST: {len(seeds)} seeds in {nw} waves "
+        f"({len(sidx)} footprint labels)")
+
+    # per-wave pops — order within a wave is free (footprint-disjoint);
+    # across waves this reproduces the sequential seed order exactly
+    adj = _Adjacency(g)
+    for w in range(nw):
+        for beg in seeds[waves == w]:
+            if len(adj.out[beg]) >= 2:
+                _mst_pop(adj, int(beg), mopp_scaled)
+    return adj.to_graph()
