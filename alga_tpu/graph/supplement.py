@@ -67,6 +67,14 @@ def li_kmers(codes: np.ndarray | None, lengths: np.ndarray, valid: np.ndarray,
     if len(ids_all) == 0:
         return empty
 
+    if packed is not None:
+        # native streaming pass (one rolling (hi, lo) update per window vs
+        # ~k full-matrix u64 numpy passes — the error path's top host cost)
+        from alga_tpu import native as _native
+        if _native.available():
+            return _native.li_kmers_native(packed, lengths, ids_all,
+                                           priorities, k, intervals)
+
     pr = np.asarray(priorities, dtype=np.uint64)
     hi_len = min(k, 32)
 

@@ -73,6 +73,13 @@ def get_lib():
         ctypes.c_int32, ctypes.c_int32,
         i32p, i32p, i32p, i64p]
 
+    u64po = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+    lib.alga_li_kmers.restype = None
+    lib.alga_li_kmers.argtypes = [
+        u32p, ctypes.c_int64, i32p, i64p, ctypes.c_int64,
+        u8p, ctypes.c_int32, ctypes.c_int32,
+        i64p, i64p, i64p, u64po, u64po, ctypes.c_int32]
+
     lib.alga_preprocess_pack.restype = None
     lib.alga_preprocess_pack.argtypes = [
         u8p, ctypes.c_int64, ctypes.c_int64, i64p,
@@ -477,3 +484,31 @@ def gcps_from_matches(n, matches, packed, lengths, rsoe: int, soes: int):
     bump("gcps_domination_checks", int(dom[0]))
     return OverlapGraph(n, out_src[:m].copy(), out_dst[:m].copy(),
                         out_off[:m].copy())
+
+
+def li_kmers_native(packed, lengths, ids, priorities, k: int,
+                    intervals: int, threads: int = 0):
+    """(rid, ind, hi, lo): native LI minimizer extraction — twin of
+    supplement.li_kmers restricted to the given read ids (each with
+    length >= k).  Output in (read, interval) order; same multiset."""
+    lib = get_lib()
+    packed = np.ascontiguousarray(packed, dtype=np.uint32)
+    lens = np.ascontiguousarray(lengths, dtype=np.int32)
+    ids = np.ascontiguousarray(ids, dtype=np.int64)
+    pr = np.ascontiguousarray(priorities, dtype=np.uint8)
+    nwin = lens[ids].astype(np.int64) - k + 1
+    # per-read emission count = number of NONEMPTY intervals =
+    # ceil(nwin / il) with il = ceil(nwin / intervals) (ref Read.cpp:180)
+    il = np.maximum(-(-nwin // intervals), 1)
+    cnt = np.where(nwin > 0, -(-nwin // il), 0)
+    base = np.zeros(len(ids), dtype=np.int64)
+    np.cumsum(cnt[:-1], out=base[1:])
+    total = int(cnt.sum())
+    out_id = np.empty(total, dtype=np.int64)
+    out_ind = np.empty(total, dtype=np.int64)
+    out_hi = np.empty(total, dtype=np.uint64)
+    out_lo = np.empty(total, dtype=np.uint64)
+    lib.alga_li_kmers(packed, packed.shape[1], lens, ids, len(ids), pr,
+                      k, intervals, base, out_id, out_ind, out_hi, out_lo,
+                      threads)
+    return out_id, out_ind, out_hi, out_lo

@@ -1961,3 +1961,88 @@ int64_t alga_gcps_join_verify(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// LI minimizer k-mer extraction (native twin of graph/supplement.li_kmers;
+// ref src/DataStructures/Read.cpp:145-226 getLIKmers): per read and per
+// position interval, the window whose priority-remapped sequence is
+// lexicographically smallest, keyed as a (hi, lo) uint64 pair — hi = the
+// first min(k, 32) remapped bases read big-endian base-4, lo = the rest.
+// Rolling update per window: strip the top digit, shift, append — exact
+// (hi < 4^32 <= 2^64, no wrap-around ambiguity).  The numpy implementation
+// runs ~35 full-matrix u64 passes per rotation and dominates the error
+// path's supplement phase; this is one streaming pass per read.
+
+extern "C" {
+
+// packed: uint32[n, W] 2-bit rows; ids int64[m] reads to process (each with
+// lengths[ids] >= k); out arrays sized sum(min(intervals, nwin_i)) by the
+// caller (exact).  Outputs in (read, interval) order — callers re-sort
+// canonically, only the multiset matters (see li_kmers docstring).
+void alga_li_kmers(const uint32_t* packed, int64_t W, const int32_t* lengths,
+                   const int64_t* ids, int64_t m,
+                   const uint8_t* priorities, int32_t k, int32_t intervals,
+                   const int64_t* out_base,
+                   int64_t* out_id, int64_t* out_ind,
+                   uint64_t* out_hi, uint64_t* out_lo, int threads) {
+    const int hi_len = k < 32 ? k : 32;
+    const int lo_len = k - hi_len;
+    // 4^(hi_len-1), 4^(lo_len-1) for the top-digit strip
+    uint64_t top_hi = 1, top_lo = 1;
+    for (int i = 0; i < hi_len - 1; i++) top_hi *= 4;
+    for (int i = 0; i < lo_len - 1; i++) top_lo *= 4;
+
+    parallel_ranges(m, threads, [&](int, int64_t a, int64_t b) {
+        std::vector<uint8_t> rc;
+        for (int64_t t = a; t < b; t++) {
+            int64_t rid = ids[t];
+            int L = lengths[rid];
+            int nwin = L - k + 1;
+            if (nwin <= 0) continue;
+            rc.resize(L);
+            const uint32_t* row = packed + rid * W;
+            for (int p = 0; p < L; p++)
+                rc[p] = priorities[(row[p >> 4] >> (2 * (p & 15))) & 3];
+
+            // initial window digits
+            uint64_t hi = 0, lo = 0;
+            for (int j = 0; j < hi_len; j++) hi = hi * 4 + rc[j];
+            for (int j = hi_len; j < k; j++) lo = lo * 4 + rc[j];
+
+            int il = (nwin + intervals - 1) / intervals;  // ceil (ref :180)
+            int64_t ob = out_base[t];
+            int emitted = 0;
+            uint64_t best_hi = ~0ull, best_lo = ~0ull;
+            int best_p = -1;
+            int iv_end = il < nwin ? il : nwin;
+            for (int p = 0; p < nwin; p++) {
+                if (p > 0) {
+                    // roll: strip rc[p-1] from hi, append rc[p+hi_len-1];
+                    // strip rc[p-1+hi_len] from lo, append rc[p+k-1]
+                    hi = (hi - (uint64_t)rc[p - 1] * top_hi) * 4
+                         + rc[p + hi_len - 1];
+                    if (lo_len > 0)
+                        lo = (lo - (uint64_t)rc[p - 1 + hi_len] * top_lo) * 4
+                             + rc[p + k - 1];
+                }
+                if (hi < best_hi || (hi == best_hi && lo < best_lo)) {
+                    best_hi = hi;
+                    best_lo = lo;
+                    best_p = p;   // strict '<' keeps the FIRST minimum
+                }
+                if (p + 1 == iv_end) {
+                    out_id[ob + emitted] = rid;
+                    out_ind[ob + emitted] = best_p;
+                    out_hi[ob + emitted] = best_hi;
+                    out_lo[ob + emitted] = best_lo;
+                    emitted++;
+                    best_hi = best_lo = ~0ull;
+                    best_p = -1;
+                    iv_end = iv_end + il < nwin ? iv_end + il : nwin;
+                }
+            }
+        }
+    }, 256);
+}
+
+}  // extern "C"

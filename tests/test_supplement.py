@@ -138,3 +138,28 @@ def test_supplement_adj_matches_dict_adapter():
                 ref.add_min(a, b, o)
 
     assert adj.to_graph().edge_set() == ref.edge_set()
+
+
+def test_li_kmers_native_matches_oracle(rng):
+    """Native streaming LI extraction == per-read-loop oracle (multiset:
+    output order is (read, interval) vs the oracle's (read, interval) —
+    exact row-for-row here)."""
+    from alga_tpu import native as native_mod
+    from alga_tpu.core import packing
+
+    if not native_mod.available():
+        pytest.skip("native engine not built")
+    n = 120
+    lens = rng.integers(40, 100, size=n).astype(np.int64)
+    codes = rng.integers(0, 4, size=(n, 100)).astype(np.uint8)
+    for i in range(n):
+        codes[i, lens[i]:] = 0
+    packed = packing.codes_to_packed(codes, lens)
+    valid = rng.random(n) < 0.8
+    for pri in ([0, 1, 2, 3], [2, 0, 3, 1]):
+        for k, iv in ((35, 6), (36, 3), (20, 4)):
+            want = supp.li_kmers_ref(codes, lens, valid, pri, k, iv)
+            ids = np.flatnonzero(valid & (lens >= k))
+            got = native_mod.li_kmers_native(packed, lens, ids, pri, k, iv)
+            for a, b in zip(got, want):
+                np.testing.assert_array_equal(a, b)
