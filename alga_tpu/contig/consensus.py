@@ -77,7 +77,16 @@ def correct_all(contigs: list[Contig], batch: SeqBatch) -> None:
     native engine when available."""
     if not contigs:
         return
+    import os
+
     from alga_tpu import native as native_mod
+    if os.environ.get("ALGA_DEVICE_CONSENSUS"):
+        # device voting/trim (VERDICT r4 item 8): bit-identical; opt-in
+        # because behind a slow host<->device link the uint8[G] base-row
+        # fetch costs more than the native host pass saves
+        from alga_tpu.contig.device_consensus import correct_all_device
+        correct_all_device(contigs, batch)
+        return
     if native_mod.available():
         # vote directly from the 2-bit packed store — the uint8[N, L] code
         # matrix is never materialized (memory diet; ref streams per-read,

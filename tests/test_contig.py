@@ -90,3 +90,49 @@ def test_walk_stops_at_fork(rng):
     seqs = sorted(c.seq for c in contigs)
     assert g1[0:20] + g1[20:60] in seqs  # 0->1
     assert len(contigs) == 3
+
+
+def test_device_consensus_matches_host(rng):
+    """Device voting + trim == host correct_all, bit for bit, across many
+    contigs with varying coverage, empty contigs, and ragged reads
+    (VERDICT r3 item 8)."""
+    from alga_tpu.contig.device_consensus import correct_all_device
+
+    n_reads_total = 0
+    all_reads = []
+    contigs_h, contigs_d = [], []
+    for ci in range(14):
+        g = random_dna(rng, int(rng.integers(60, 220)))
+        reads, offsets = [], []
+        pos, prev = 0, 0
+        rl = int(rng.integers(25, 45))
+        while pos + rl <= len(g):
+            r = list(g[pos : pos + rl])
+            if rng.random() < 0.4:
+                i = int(rng.integers(0, rl))
+                r[i] = "ACGT"[int(rng.integers(0, 4))]
+            reads.append("".join(r))
+            offsets.append(pos - prev)
+            prev = pos
+            pos += int(rng.integers(4, 18))
+        if len(reads) < 2:
+            continue
+        offsets[0] = -1
+        ids = list(range(n_reads_total, n_reads_total + len(reads)))
+        n_reads_total += len(reads)
+        all_reads.extend(reads)
+        contigs_h.append(Contig(ci, "", list(zip(ids, offsets))))
+        contigs_d.append(Contig(ci, "", list(zip(ids, offsets))))
+    # one single-read low-coverage contig (fully trimmed -> empty seq)
+    all_reads.append(random_dna(rng, 30))
+    contigs_h.append(Contig(99, "", [(n_reads_total, -1)]))
+    contigs_d.append(Contig(99, "", [(n_reads_total, -1)]))
+
+    batch = SeqBatch.from_strings(all_reads)
+    # host oracle WITHOUT the native engine (pure numpy twin)
+    for c in contigs_h:
+        consensus_mod.correct_snips(c, batch)
+    correct_all_device(contigs_d, batch, chunk_reads=64)  # force chunking
+    for ch, cd in zip(contigs_h, contigs_d):
+        assert cd.seq == ch.seq
+    assert contigs_d[-1].seq == ""
