@@ -514,13 +514,12 @@ def gcps_graph_device_scale(packed_np, lengths_np, n: int, ell_min: int,
         cb_tgt = max(cb_tgt, total_i)
         _vlog(f"block {b + 1}/{nblocks}: candidates={total_i} (CB={CB})")
         b += 1
-    if retries:
-        # blocks before a capacity bump ran at a smaller CB; pad their
-        # compacted outputs so the stack below is rectangular
-        CBf = _round_cap(cb_tgt * 5 // 4, cap_quantum)
-        per_block = [pb if pb.shape[1] == CBf else
-                     jnp.pad(pb, ((0, 0), (0, CBf - pb.shape[1])))
-                     for pb in per_block]
+    # blocks that ran before a capacity bump (overflow retry OR a plain
+    # target growth) have a smaller CB; pad so the stack is rectangular
+    CBf = max(pb.shape[1] for pb in per_block)
+    per_block = [pb if pb.shape[1] == CBf else
+                 jnp.pad(pb, ((0, 0), (0, CBf - pb.shape[1])))
+                 for pb in per_block]
 
     stacked = jnp.stack(per_block)                    # [nb, 4, CB]
     cnts = jnp.stack(counts)

@@ -252,7 +252,12 @@ def build_gcps_graph(packed, lengths, n: int, ell_min: int, cap: int,
         force = _os.environ.get("ALGA_GCPS_DEVICE", "")
         on_accel = _jax.default_backend() != "cpu"
         big_enough = len(lengths) * n_windows >= 1 << 18
-        fits_small = (n_windows <= 4096 and n < (1 << 22)
+        # the fused single-dispatch path wins on warm latency for small
+        # batches; above ~0.5M reads its one giant dispatch/fetch proved
+        # fragile over slow links (BASELINE.md r4), so larger batches take
+        # the staged wide path, which matched/beat the host engine at the
+        # 876k- and 7.2M-read scale runs
+        fits_small = (n_windows <= 4096 and n < (1 << 19)
                       and max_len < 1024)
         short_reads = max_len <= cap + (cap >> 2)
         if force != "off":
