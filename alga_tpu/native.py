@@ -80,6 +80,12 @@ def get_lib():
         u8p, ctypes.c_int32, ctypes.c_int32,
         i64p, i64p, i64p, u64po, u64po, ctypes.c_int32]
 
+    lib.alga_acler_batch.restype = None
+    lib.alga_acler_batch.argtypes = [
+        u32p, ctypes.c_int64, i32p, i64p, i64p, i64p, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        u8p, ctypes.c_int32]
+
     lib.alga_preprocess_pack.restype = None
     lib.alga_preprocess_pack.argtypes = [
         u8p, ctypes.c_int64, ctypes.c_int64, i64p,
@@ -512,3 +518,23 @@ def li_kmers_native(packed, lengths, ids, priorities, k: int,
                       k, intervals, base, out_id, out_ind, out_hi, out_lo,
                       threads)
     return out_id, out_ind, out_hi, out_lo
+
+
+def acler_batch_native(packed, lengths, r1, r2, offsets, cfg,
+                       threads: int = 0) -> np.ndarray:
+    """bool[M]: native packed ACLER + ACH guards — twin of
+    ops/align._np_ach_chunk in its ACLER-only (default) configuration."""
+    lib = get_lib()
+    packed = np.ascontiguousarray(packed, dtype=np.uint32)
+    lens = np.ascontiguousarray(lengths, dtype=np.int32)
+    r1 = np.ascontiguousarray(r1, dtype=np.int64)
+    r2 = np.ascontiguousarray(r2, dtype=np.int64)
+    off = np.ascontiguousarray(offsets, dtype=np.int64)
+    out = np.zeros(max(len(r1), 1), dtype=np.uint8)
+    lib.alga_acler_batch(packed, packed.shape[1], lens, r1, r2, off,
+                         len(r1), cfg.max_offset_considered_for_alignment,
+                         cfg.min_overlap_area,
+                         cfg.minimal_overlap_for_lcs_low_error,
+                         cfg.alignment_controller_same_ends_length,
+                         out, threads)
+    return out[: len(r1)].astype(bool)

@@ -268,6 +268,13 @@ def ach_batch_auto(packed, codes, lengths, r1, r2, offsets, cfg,
     if m == 0:
         return np.zeros(0, dtype=bool)
     if m < min_device_batch or packed is None:
+        if packed is not None and cfg.use_acler_instead_of_aclcs:
+            # native packed ACLER (the error path's hot verifier): popcount
+            # over funnel-shifted words, no code-matrix unpack at all
+            from alga_tpu import native as _native
+            if _native.available():
+                return _native.acler_batch_native(
+                    np.asarray(packed), lengths, r1, r2, offsets, cfg)
         if codes is None:
             # unpack only the rows this batch touches (memory diet)
             from alga_tpu.core import packing

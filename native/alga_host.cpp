@@ -2046,3 +2046,72 @@ void alga_li_kmers(const uint32_t* packed, int64_t W, const int32_t* lengths,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Batched ACLER verification on the packed store (native twin of
+// ops/align._np_ach_chunk in its ACLER-only configuration; ref
+// AlignmentControllerLowErrorRate.cpp:15-48 + the ACH guards,
+// ACHybrid.cpp:49-62).  Mismatch counting is a popcount over the XOR of
+// the funnel-shifted packed streams; the front same-ends check keeps the
+// reference's bit-range quirk (bits [0, 2*sel] INCLUSIVE — the low bit of
+// base `sel` participates, ref ACLER.cpp:42-45), the back check is
+// base-granular over the top `sel` bases of the overlap.
+
+extern "C" {
+
+void alga_acler_batch(const uint32_t* packed, int64_t W,
+                      const int32_t* lengths,
+                      const int64_t* r1, const int64_t* r2,
+                      const int64_t* offsets, int64_t m,
+                      int32_t moc, int32_t min_overlap_area,
+                      int32_t min_low_err, int32_t sel,
+                      uint8_t* out, int threads) {
+    parallel_ranges(m, threads, [&](int, int64_t a, int64_t b) {
+        for (int64_t t = a; t < b; t++) {
+            out[t] = 0;
+            int64_t off = offsets[t];
+            int32_t len1 = lengths[r1[t]];
+            int32_t len2 = lengths[r2[t]];
+            if (100 * off > (int64_t)moc * len1) continue;
+            if (off < 0) continue;
+            int64_t ov = (len1 < len2 + off ? len1 : len2 + off) - off;
+            if (ov < min_overlap_area) continue;
+            if (len2 + off - len1 < 0) continue;
+
+            const uint32_t* pa = packed + r1[t] * W;
+            const uint32_t* pb = packed + r2[t] * W;
+            int64_t sw = off >> 4;
+            uint32_t sb = (uint32_t)((off & 15) * 2);
+            int64_t bitdiff = 0;
+            bool front_bad = false, back_bad = false;
+            int64_t words = (ov + 15) / 16;
+            for (int64_t w = 0; w < words; w++) {
+                uint32_t lo = (sw + w) < W ? pa[sw + w] : 0u;
+                uint32_t hi = (sw + w + 1) < W ? pa[sw + w + 1] : 0u;
+                uint32_t av = sb ? ((lo >> sb) | (hi << (32 - sb))) : lo;
+                uint32_t x = av ^ pb[w];
+                int64_t rem = ov - 16 * w;
+                uint32_t mask = rem >= 16 ? 0xFFFFFFFFu
+                                          : ((1u << (rem * 2)) - 1u);
+                x &= mask;
+                bitdiff += __builtin_popcount(x);
+                if (w == 0 && (x & ((1u << (2 * sel + 1)) - 1u)))
+                    front_bad = true;
+                // back window: bases [ov - sel, ov)
+                int64_t lo_base = ov - sel;
+                int64_t wb0 = 16 * w;
+                if (wb0 + 16 > lo_base) {
+                    int64_t first = lo_base > wb0 ? lo_base - wb0 : 0;
+                    uint32_t bm = first >= 16 ? 0u
+                        : (0xFFFFFFFFu << (first * 2));
+                    if (x & bm & mask) back_bad = true;
+                }
+            }
+            if (front_bad || back_bad) continue;
+            int64_t seq_overlap = (2 * ov - bitdiff) >> 1;
+            if (100 * seq_overlap >= (int64_t)min_low_err * ov) out[t] = 1;
+        }
+    }, 1024);
+}
+
+}  // extern "C"

@@ -105,3 +105,51 @@ def test_varied_lengths(rng):
         align.np_banded_lcs(codes, lengths, a, b, int(o), 2)
         for a, b, o in zip(r1, r2, offs)])
     np.testing.assert_array_equal(got, want)
+
+
+def test_acler_batch_native_matches_numpy(rng):
+    """Native packed ACLER == _np_ach_chunk (ACLER-only config) over
+    randomized pairs incl. same-ends quirk boundaries."""
+    from alga_tpu import native as native_mod
+    from alga_tpu.config import AssemblyConfig, autotune
+    from alga_tpu.core import packing
+    from alga_tpu.ops.align import np_ach_batch
+
+    if not native_mod.available():
+        pytest.skip("native engine not built")
+    n, L = 200, 100
+    genome = "".join("ACGT"[i] for i in rng.integers(0, 4, size=2000))
+    seqs = []
+    for _ in range(n):
+        p = int(rng.integers(0, 2000 - L))
+        s = list(genome[p : p + L])
+        for _e in range(int(rng.integers(0, 4))):
+            s[int(rng.integers(0, L))] = "ACGT"[int(rng.integers(0, 4))]
+        seqs.append("".join(s))
+    packed, lengths = packing.pack_strings(seqs)
+    codes = packing.packed_to_codes(packed, L)
+    cfg = autotune(AssemblyConfig(error_rate=0.02), 100.0)
+    from alga_tpu.config import supplement_retune
+    cfg = supplement_retune(cfg, 100.0)
+    assert cfg.use_acler_instead_of_aclcs
+
+    # half random pairs (mostly rejects), half genuinely tiled pairs
+    M = 4000
+    r1 = rng.integers(0, n, M).astype(np.int64)
+    r2 = rng.integers(0, n, M).astype(np.int64)
+    off = rng.integers(-2, 60, M).astype(np.int64)
+    step = 10
+    tiled = [genome[p : p + L] for p in range(0, 2000 - L, step)]
+    nt = len(tiled)
+    packed2, lengths2 = packing.pack_strings(seqs + tiled)
+    codes2 = packing.packed_to_codes(packed2, L)
+    for t in range(0, M, 2):
+        i = int(rng.integers(0, nt - 3))
+        d = int(rng.integers(1, 4))
+        r1[t] = n + i
+        r2[t] = n + i + d
+        off[t] = d * step
+    want = np_ach_batch(codes2, lengths2.astype(np.int64), r1, r2, off, cfg)
+    got = native_mod.acler_batch_native(packed2, lengths2, r1, r2, off, cfg)
+    np.testing.assert_array_equal(got, want)
+    assert want.any() and not want.all()
