@@ -350,6 +350,11 @@ def assemble(cfg: AssemblyConfig,
                     tcfg.max_offset_dangling_branches,
                     threads=tcfg.threads)
             else:
+                if g.n > 100_000:
+                    _log("WARNING: native engine unavailable — the Python "
+                         "twin simplifier walks nodes in Python loops and "
+                         f"will be very slow at {g.n} nodes (build "
+                         "native/libalga_host.so, or run on a mesh)")
                 g = simplify.simplify_graph_old(
                     g, batch, tcfg.max_offset_parallel_paths,
                     tcfg.max_offset_dangling_branches, log=_log,
