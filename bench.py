@@ -67,20 +67,33 @@ def _kernel_bench():
     lengths_d = jnp.asarray(lengths)
     num_windows = L - K + 1
 
-    def run_hash():
-        k1, k2, v = hashes.window_kmer_keys_u32(packed, lengths_d, K, num_windows)
-        return k1
-
-    jax.block_until_ready(run_hash())  # compile
-    # dispatch all iterations asynchronously, block ONCE: via the axon
-    # tunnel every per-iteration block_until_ready costs a full host
-    # round-trip (~100ms) that would swamp the device time.  Best of 3
-    # measurement windows: the tunnel stalls poison single windows
+    # iterations CHAIN on-device inside one jit (a data dependency through
+    # the packed input defeats DCE), so one dispatch measures `iters`
+    # kernel invocations — per-dispatch tunnel latency (~100ms) no longer
+    # bounds the number (VERDICT r3 weak item 3).  Chained: 169 Gbases/s
+    # (2026-08-21) vs 0.4-12 when dispatch-bound; NB the consumer is a
+    # reduction, so XLA may fuse away the [N, P] key materialization —
+    # this measures the hash arithmetic, the e2e number measures the rest
     iters = 30
+
+    @jax.jit
+    def run_hash_chained(p):
+        def body(_, carry):
+            p_, acc = carry
+            k1, _k2, _v = hashes.window_kmer_keys_u32(p_, lengths_d, K,
+                                                      num_windows)
+            s = jnp.sum(k1, dtype=jnp.uint32)
+            # next input genuinely depends on this result (low-bit flip),
+            # so neither DCE nor loop-invariant hoisting can elide a round
+            return p_ ^ (s & jnp.uint32(1)), acc + s
+        return jax.lax.fori_loop(0, iters, body,
+                                 (p, jnp.uint32(0)))[1]
+
+    jax.block_until_ready(run_hash_chained(packed))  # compile
     gb_hash = 0.0
     for _w in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready([run_hash() for _ in range(iters)])
+        jax.block_until_ready(run_hash_chained(packed))
         dt = time.perf_counter() - t0
         gb_hash = max(gb_hash, N * num_windows * iters / dt / 1e9)
 
@@ -91,14 +104,22 @@ def _kernel_bench():
     l = jnp.asarray((L - np.asarray(s)).astype(np.int32))
     W = (L + 15) // 16
 
-    def run_verify():
-        return bitops.overlap_mismatch_count(packed, a, s, b, l, W)
+    @jax.jit
+    def run_verify_chained(a0):
+        def body(_, carry):
+            a_, acc = carry
+            mm = bitops.overlap_mismatch_count(packed, a_, s, b, l, W)
+            t = jnp.sum(mm).astype(jnp.int32)
+            # rotate pair ids by the (data-dependent) parity of the result
+            return (a_ + (t & 1)) % N, acc + t
+        return jax.lax.fori_loop(0, iters, body,
+                                 (a0, jnp.int32(0)))[1]
 
-    jax.block_until_ready(run_verify())
+    jax.block_until_ready(run_verify_chained(a))
     gb_cmp = 0.0
     for _w in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready([run_verify() for _ in range(iters)])
+        jax.block_until_ready(run_verify_chained(a))
         dt = time.perf_counter() - t0
         gb_cmp = max(gb_cmp, float(np.asarray(l).sum()) * iters / dt / 1e9)
 
