@@ -476,8 +476,9 @@ def gcps_graph_device(packed_np, lengths_np, n: int, ell_min: int, cap: int,
     af_d = jnp.asarray(af)
 
     W = packing.words_for(min(max_len, cap))
-    max_off = max(1, min(max_len, cap) - int(rsoe))
-    W3 = packing.words_for(min(max_off, min(max_len, cap)))
+    # domination compare width must match the host oracle's W_verify
+    # (prefsuf.py:315); W3 < W under-compares reads longer than cap
+    W3 = W
     at_d = jnp.asarray(at)
     hint_key = (k, int(cap), int(rsoe), int(soes), n >> 10)
     # target totals: last observed for this shape family, else a guess from

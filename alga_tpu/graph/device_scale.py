@@ -485,8 +485,10 @@ def gcps_graph_device_scale(packed_np, lengths_np, n: int, ell_min: int,
           f"nw={nw}")
 
     W = packing.words_for(min(max_len, cap))
-    max_off = max(1, min(max_len, cap) - int(rsoe))
-    W3 = packing.words_for(min(max_off, min(max_len, cap)))
+    # domination compare width must match the host oracle's W_verify
+    # (prefsuf.py:315): remover offsets reach max_len - rsoe, which exceeds
+    # min(max_len, cap) - rsoe whenever routing admits max_len > cap
+    W3 = W
 
     hint_key = (k, int(cap), int(rsoe), int(soes), n >> 18, BS >> 14)
     # (max candidates per block, pairs, removers, edges kept)
@@ -504,6 +506,15 @@ def gcps_graph_device_scale(packed_np, lengths_np, n: int, ell_min: int,
             packed_d, packed_pad, lengths_d, af_d, pkeys,
             b * BS, BS, k, nw, int(cap), CB, W)
         total_i = int(total)
+        if total_i < 0:
+            # per-block candidate count is an int32 cumsum (_block_join);
+            # past 2^31 it wraps negative and would pass the > CB check
+            # while the block silently emits nothing — mirror the
+            # exp_total < 0 guard below
+            raise RuntimeError(
+                "gcps_graph_device_scale: per-block candidate count "
+                "exceeds 2^31 (int32 csum overflow) — route this input "
+                "through the host engine or shrink the block size")
         if total_i > CB:
             cb_tgt = max(cb_tgt, total_i)
             retries += 1

@@ -259,9 +259,21 @@ def build_gcps_graph(packed, lengths, n: int, ell_min: int, cap: int,
         # 876k- and 7.2M-read scale runs
         fits_small = (n_windows <= 4096 and n < (1 << 19)
                       and max_len < 1024)
+        # hard preconditions of the fused path's packed sort keys — a
+        # forced override may relax the heuristic n < 2^19 threshold but
+        # never these (ids must fit the key's id field, windows its grid)
+        small_safe = (n_windows <= 4096 and n < (1 << 22)
+                      and max_len < 1024)
         short_reads = max_len <= cap + (cap >> 2)
+        if force == "small" and not small_safe:
+            import sys as _sys
+            print("[alga_tpu] ALGA_GCPS_DEVICE=small ignored: input "
+                  f"violates fused-path preconditions (n={n}, "
+                  f"max_len={max_len}, n_windows={n_windows}); "
+                  "falling through to wide/host routing", file=_sys.stderr)
+            force = ""
         if force != "off":
-            if (force == "small" or
+            if ((force == "small" and small_safe) or
                     (not force and on_accel and big_enough and fits_small)):
                 from alga_tpu.graph.device_join import gcps_graph_device
                 return gcps_graph_device(packed, lengths, n, ell_min, cap,

@@ -84,7 +84,7 @@ def get_lib():
     lib.alga_acler_batch.argtypes = [
         u32p, ctypes.c_int64, i32p, i64p, i64p, i64p, ctypes.c_int64,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-        u8p, ctypes.c_int32]
+        ctypes.c_int32, u8p, ctypes.c_int32]
 
     lib.alga_preprocess_pack.restype = None
     lib.alga_preprocess_pack.argtypes = [
@@ -533,6 +533,7 @@ def acler_batch_native(packed, lengths, r1, r2, offsets, cfg,
     out = np.zeros(max(len(r1), 1), dtype=np.uint8)
     lib.alga_acler_batch(packed, packed.shape[1], lens, r1, r2, off,
                          len(r1), cfg.max_offset_considered_for_alignment,
+                         cfg.min_offset_for_alignment,
                          cfg.min_overlap_area,
                          cfg.minimal_overlap_for_lcs_low_error,
                          cfg.alignment_controller_same_ends_length,

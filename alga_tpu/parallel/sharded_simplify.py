@@ -750,6 +750,20 @@ def mst_pass_sharded(mesh: Mesh, g: OverlapGraph, mopp_scaled: int,
     if len(seeds) == 0:
         return g.sorted_by_src_offset()
 
+    # the mesh footprint table is [npad, 2K] — repeat-dense graphs with
+    # out-degree > 64 would need an unreasonable K, so route them to the
+    # host engines (which the pre-mesh pipeline always used) instead of
+    # hard-failing mesh-mode assembly
+    if int(outdeg.max(initial=0)) > 64:
+        bump("sharded_mst_host_fallback", 1)
+        log(f"[sharded] MST: out-degree {int(outdeg.max())} > 64, "
+            "using host engine for this pass")
+        from alga_tpu import native as _native
+        if _native.available():
+            return _native.mst_pass(g, mopp_scaled, threads)
+        from alga_tpu.graph.simplify import remove_short_parallel_paths
+        return remove_short_parallel_paths(g, mopp_scaled, threads)
+
     sidx, snode = mst_footprints_sharded(mesh, g, seeds, mopp_scaled)
 
     # wave layering (host, cheap): wave(i) = 1 + max wave of any EARLIER

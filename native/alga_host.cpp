@@ -2063,7 +2063,8 @@ void alga_acler_batch(const uint32_t* packed, int64_t W,
                       const int32_t* lengths,
                       const int64_t* r1, const int64_t* r2,
                       const int64_t* offsets, int64_t m,
-                      int32_t moc, int32_t min_overlap_area,
+                      int32_t moc, int32_t min_off,
+                      int32_t min_overlap_area,
                       int32_t min_low_err, int32_t sel,
                       uint8_t* out, int threads) {
     parallel_ranges(m, threads, [&](int, int64_t a, int64_t b) {
@@ -2073,7 +2074,10 @@ void alga_acler_batch(const uint32_t* packed, int64_t W,
             int32_t len1 = lengths[r1[t]];
             int32_t len2 = lengths[r2[t]];
             if (100 * off > (int64_t)moc * len1) continue;
-            if (off < 0) continue;
+            // ACH guard parity with _np_ach_chunk: offsets below the
+            // configured minimum (default 0) are rejected; negative
+            // offsets additionally break the funnel-shift word math
+            if (off < min_off || off < 0) continue;
             int64_t ov = (len1 < len2 + off ? len1 : len2 + off) - off;
             if (ov < min_overlap_area) continue;
             if (len2 + off - len1 < 0) continue;

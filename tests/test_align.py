@@ -153,3 +153,43 @@ def test_acler_batch_native_matches_numpy(rng):
     got = native_mod.acler_batch_native(packed2, lengths2, r1, r2, off, cfg)
     np.testing.assert_array_equal(got, want)
     assert want.any() and not want.all()
+
+
+def test_acler_batch_native_min_offset(rng):
+    """ADVICE r4: the native ACLER batch must honor
+    cfg.min_offset_for_alignment (the numpy twin's offsets >= min_off
+    guard, _np_ach_chunk), not a hardcoded off < 0."""
+    import dataclasses
+
+    from alga_tpu import native as native_mod
+    from alga_tpu.config import AssemblyConfig, autotune, supplement_retune
+    from alga_tpu.core import packing
+    from alga_tpu.ops.align import np_ach_batch
+
+    if not native_mod.available():
+        pytest.skip("native engine not built")
+    L = 80
+    genome = "".join("ACGT"[i] for i in rng.integers(0, 4, size=1000))
+    step = 4
+    tiled = [genome[p : p + L] for p in range(0, 1000 - L, step)]
+    packed, lengths = packing.pack_strings(tiled)
+    codes = packing.packed_to_codes(packed, L)
+    cfg = supplement_retune(autotune(AssemblyConfig(error_rate=0.02), float(L)),
+                            float(L))
+    cfg = dataclasses.replace(cfg, min_offset_for_alignment=9)
+
+    nt = len(tiled)
+    M = 600
+    r1 = rng.integers(0, nt - 8, M).astype(np.int64)
+    d = rng.integers(1, 8, M)
+    r2 = (r1 + d).astype(np.int64)
+    off = (d * step).astype(np.int64)   # offsets 4..28 straddle min_off=9
+    want = np_ach_batch(codes, lengths.astype(np.int64), r1, r2, off, cfg)
+    got = native_mod.acler_batch_native(packed, lengths, r1, r2, off, cfg)
+    np.testing.assert_array_equal(got, want)
+    # the guard must actually bite: some offsets below 9 would otherwise pass
+    cfg0 = dataclasses.replace(cfg, min_offset_for_alignment=0)
+    want0 = np_ach_batch(codes, lengths.astype(np.int64), r1, r2, off, cfg0)
+    assert want0.sum() > want.sum()
+    got0 = native_mod.acler_batch_native(packed, lengths, r1, r2, off, cfg0)
+    np.testing.assert_array_equal(got0, want0)

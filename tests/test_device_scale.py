@@ -146,3 +146,54 @@ def test_scale_empty_and_degenerate(rng):
     g2 = device_scale.gcps_graph_device_scale(packed, lengths, 1, 4, 500,
                                               6, 3)
     assert g2.num_edges == 0  # single read, self-match excluded
+
+
+def _over_cap_fixture(rng, cap=64):
+    """Reads in (cap, 1.25*cap] PLUS an adversarial trio where the
+    domination compare diverges only past word words_for(cap - rsoe):
+    A and B agree on the first 44 bases of the compare window, diverge at
+    base 50 < offB=60, and both overlap D's prefix — the old truncated W3
+    wrongly prunes A→D while the host oracle keeps it."""
+    def rs(n):
+        return "".join("ACGT"[i] for i in rng.integers(0, 4, size=n))
+    D = rs(70)
+    common = rs(44)
+    tail_a = rs(16)
+    tb = list(tail_a)
+    tb[6] = "ACGT"[("ACGT".index(tail_a[6]) + 1) % 4]   # mismatch @ base 50
+    A = common + tail_a + D[:18]                        # offA = 60, ellA=18
+    B = common + "".join(tb) + D[:20]                   # offB = 60, ellB=20
+    seqs = [A, B, D]
+    for L in rng.integers(cap + 1, cap + cap // 4 + 1, size=200):
+        seqs.append(rs(int(L)))
+    return seqs
+
+
+def test_scale_long_reads_over_cap(rng):
+    """ADVICE r4 (medium): reads with max_len in (cap, 1.25*cap] must get
+    the same domination compare width as the host oracle (W_verify =
+    words_for(min(max_len, cap))); the old W3 truncated at
+    min(max_len, cap) - rsoe and wrongly pruned edges."""
+    cap = 64
+    seqs = _over_cap_fixture(rng, cap)
+    # small rsoe so remover offsets reach well past cap - rsoe
+    g_host, g_dev = _both(seqs, 16, cap, 20)
+    tri = set(zip(g_host.src.tolist(), g_host.dst.tolist(),
+                  g_host.offset.tolist()))
+    assert (0, 2, 60) in tri        # the edge the old W3 wrongly pruned
+    _assert_equal(g_host, g_dev)
+
+
+def test_join_long_reads_over_cap(rng):
+    """Same differential for the fused small path (device_join.py)."""
+    from alga_tpu.graph import device_join
+    cap = 64
+    seqs = _over_cap_fixture(rng, cap)
+    packed, lengths = packing.pack_strings(seqs)
+    n = len(seqs)
+    g_host = prefsuf.build_gcps_graph(packed, lengths, n, 16, cap, 20, 3)
+    g_dev = device_join.gcps_graph_device(packed, lengths, n, 16, cap, 20, 3)
+    tri = set(zip(g_host.src.tolist(), g_host.dst.tolist(),
+                  g_host.offset.tolist()))
+    assert (0, 2, 60) in tri
+    _assert_equal(g_host, g_dev)
