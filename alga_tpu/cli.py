@@ -76,15 +76,22 @@ def main(argv=None) -> int:
         serialize_graph=bool(args.serialize),
         deserialize_graph=bool(args.deserialize_graph),
     )
-    if args.profile_dir:
-        import jax
-        jax.profiler.start_trace(args.profile_dir)
-        try:
+    from alga_tpu.pipeline import DataQualityError
+    try:
+        if args.profile_dir:
+            import jax
+            jax.profiler.start_trace(args.profile_dir)
+            try:
+                assemble_to_file(cfg)
+            finally:
+                jax.profiler.stop_trace()
+        else:
             assemble_to_file(cfg)
-        finally:
-            jax.profiler.stop_trace()
-    else:
-        assemble_to_file(cfg)
+    except DataQualityError as e:
+        # ref main.cpp:429-435: stderr message + exit(1)
+        import sys
+        print(str(e), file=sys.stderr)
+        return 1
     return 0
 
 

@@ -28,6 +28,14 @@ class AssemblyConfig:
     scale: float = 0.55        # the single tuning knob (ref: Params.cpp:678)
     rna: bool = False
     remove_reads_with_n: bool = True   # ref: Params.cpp:741
+    add_paired_reads: bool = True      # ref: Params.cpp:693 (live default 1;
+                                       # only settable in code — the getopt
+                                       # entry is commented out).  Controls
+                                       # PFASTA record framing: 2-line
+                                       # interleaved-mate records when on,
+                                       # 4-line records with the mate lines
+                                       # discarded when off
+                                       # (ref: InputReader.cpp:156-165)
 
     # --- preprocessing (ref: src/IO/InputReader.cpp) ---
     read_end_trim_left: int = 3        # ref: Params.cpp:729

@@ -35,15 +35,32 @@ def detect_format(path: str) -> str:
     p = path.lower()
     if p.endswith((".fastq", ".fq")):
         return "fastq"
-    if p.endswith((".fasta", ".fa", ".pfasta")):
+    if p.endswith(".pfasta"):
+        return "pfasta"
+    if p.endswith((".fasta", ".fa")):
         return "fasta"
     return "my_input"   # one sequence per line (ref Params::MY_INPUT)
 
 
-def read_sequences(path: str, fmt: str | None = None) -> list[str]:
+def read_sequences(path: str, fmt: str | None = None,
+                   add_paired_reads: bool = True) -> list[str]:
     fmt = fmt or detect_format(path)
     seqs = []
     with open(path) as f:
+        if fmt == "pfasta":
+            # PFASTA is a distinct live format (ref InputReader.cpp:156-165):
+            # strict getline pairs (header, seq) with mates INTERLEAVED in
+            # one file; when ADD_PAIRED_READS is off each record instead
+            # spans 4 lines and the mate lines 3-4 are consumed and
+            # discarded.  NB the paired offsets the reference assigns to
+            # these reads have no live consumer without --file2 (reliable-
+            # predecessor marking early-outs, ContigCreatorSinglePath.cpp:272),
+            # so the assembly path treats the interleaved read order as-is.
+            lines = f.read().split("\n")
+            step = 2 if add_paired_reads else 4
+            for i in range(0, len(lines) - 1, step):
+                seqs.append(lines[i + 1].strip().split(" ")[0])
+            return seqs
         if fmt == "fastq":
             for i, line in enumerate(f):
                 if i % 4 == 1:
@@ -177,6 +194,7 @@ def _build_read_batch_native(file1_seqs, file2_seqs, **kw) -> SeqBatch:
 
 
 def load_read_batch(file1: str, file2: str | None = None,
+                    add_paired_reads: bool = True,
                     **pre_kwargs) -> SeqBatch:
     """File path -> SeqBatch without a list[str] detour: the file bytes are
     read in one gulp and parsed by the multithreaded native scanner
@@ -186,7 +204,17 @@ def load_read_batch(file1: str, file2: str | None = None,
     native library is unavailable or N-randomization is requested."""
     from alga_tpu import native
 
-    if pre_kwargs.get("remove_reads_with_n", True) and native.available():
+    def _fmt(path):
+        fmt = detect_format(path)
+        if fmt == "pfasta":
+            # 2-line interleaved framing == strict FASTA framing; the
+            # 4-line unpaired mode needs the python parser below
+            return "fasta" if add_paired_reads else None
+        return fmt
+
+    native_ok = all(_fmt(p) is not None for p in (file1, file2) if p)
+    if (native_ok and pre_kwargs.get("remove_reads_with_n", True)
+            and native.available()):
         kw = {k: v for k, v in pre_kwargs.items()
               if k in ("trim_left", "trim_right", "rna", "str_period")}
         def _parse(path):
@@ -195,7 +223,7 @@ def load_read_batch(file1: str, file2: str | None = None,
             buf = np.memmap(path, dtype=np.uint8, mode="r")
             if len(buf) == 0:
                 return (np.zeros((0, 1), np.uint8), np.zeros(0, np.int64))
-            return native.fastx_parse(np.asarray(buf), detect_format(path))
+            return native.fastx_parse(np.asarray(buf), _fmt(path))
 
         r1, rl1 = _parse(file1)
         r2 = rl2 = None
@@ -203,8 +231,9 @@ def load_read_batch(file1: str, file2: str | None = None,
             r2, rl2 = _parse(file2)
         return _build_read_batch_native_mats(r1, rl1, r2, rl2, **kw)
 
-    seqs1 = read_sequences(file1)
-    seqs2 = read_sequences(file2) if file2 else None
+    seqs1 = read_sequences(file1, add_paired_reads=add_paired_reads)
+    seqs2 = (read_sequences(file2, add_paired_reads=add_paired_reads)
+             if file2 else None)
     return build_read_batch(seqs1, seqs2, **pre_kwargs)
 
 

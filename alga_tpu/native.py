@@ -118,6 +118,16 @@ def get_lib():
         u8p, ctypes.c_int64, ctypes.c_int64, i64p, u8p, i64p, i64p,
         ctypes.c_int64, ctypes.c_int32]
 
+    lib.alga_graph_record_starts.restype = ctypes.c_int64
+    lib.alga_graph_record_starts.argtypes = [
+        i32p, ctypes.c_int64, ctypes.c_int64, i64p]
+    lib.alga_graph_pack.restype = ctypes.c_int64
+    lib.alga_graph_pack.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, i32p, i32p, i32p, i64p, i32p]
+    lib.alga_graph_unpack.restype = ctypes.c_int64
+    lib.alga_graph_unpack.argtypes = [
+        i32p, ctypes.c_int64, ctypes.c_int64, i32p, i32p, i32p]
+
     lib.alga_fastx_scan.restype = ctypes.c_int64
     lib.alga_fastx_scan.argtypes = [
         u8p, ctypes.c_int64, ctypes.c_int32, i64p, i64p, ctypes.c_int64,
@@ -539,3 +549,40 @@ def acler_batch_native(packed, lengths, r1, r2, offsets, cfg,
                          cfg.alignment_controller_same_ends_length,
                          out, threads)
     return out[: len(r1)].astype(bool)
+
+def graph_record_starts(data: np.ndarray, n: int) -> np.ndarray:
+    """int64[n] record-start positions in a reference-format graph stream
+    (ref Graph.cpp:220-266 layout; the data-dependent scan in C)."""
+    lib = get_lib()
+    data = np.ascontiguousarray(data, dtype=np.int32)
+    starts = np.empty(max(n, 1), dtype=np.int64)
+    end = lib.alga_graph_record_starts(data, len(data), n, starts)
+    if end < 0 or end > len(data):
+        raise ValueError("truncated reference graph file")
+    return starts[:n]
+
+def graph_pack(n: int, src, dst, off) -> np.ndarray:
+    """int32 reference-format graph stream from unsorted edge arrays
+    (counting sort by src in one native pass; ref Graph.cpp:268-295)."""
+    lib = get_lib()
+    src = np.ascontiguousarray(src, dtype=np.int32)
+    dst = np.ascontiguousarray(dst, dtype=np.int32)
+    off = np.ascontiguousarray(off, dtype=np.int32)
+    m = len(src)
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    out = np.empty(1 + 2 * n + 2 * m, dtype=np.int32)
+    length = lib.alga_graph_pack(n, m, src, dst, off, indptr, out)
+    return out[:length]
+
+def graph_unpack(data: np.ndarray, n: int, m: int):
+    """(src, dst, off) int32 edge arrays from a reference-format graph
+    stream in one native pass."""
+    lib = get_lib()
+    data = np.ascontiguousarray(data, dtype=np.int32)
+    src = np.empty(max(m, 1), dtype=np.int32)
+    dst = np.empty(max(m, 1), dtype=np.int32)
+    off = np.empty(max(m, 1), dtype=np.int32)
+    e = lib.alga_graph_unpack(data, len(data), n, src, dst, off)
+    if e < 0 or e != m:
+        raise ValueError("truncated reference graph file")
+    return src[:m], dst[:m], off[:m]

