@@ -329,6 +329,15 @@ def mark_prefix_reads(batch: SeqBatch) -> np.ndarray:
     ids = np.flatnonzero(batch.valid)
     if len(ids) == 0:
         return marked
+    from alga_tpu import native as _nat
+    if _nat.available():
+        # native twin: key build + 2-way parallel merge sort + adjacent
+        # scan in C (differential-tested against the numpy path below)
+        rm, rm_rc = _nat.mark_prefix(np.asarray(batch.packed), ids,
+                                     batch.lengths[ids].astype(np.int64))
+        marked[ids[rm]] = True
+        marked[SeqBatch.revcomp_id(ids[rm_rc])] = True
+        return marked
     packed = np.asarray(batch.packed)[ids]
     lengths = batch.lengths[ids].astype(np.int64)
     # the sort key's length tie-break is 2 big-endian bytes (ADVICE r3):

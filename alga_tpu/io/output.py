@@ -23,9 +23,16 @@ def filter_contigs(contigs: list[Contig], n_reads: int,
     was_in_contig = np.zeros(n_reads, dtype=bool)
     # the reference uses unstable std::sort; equal-length contigs (a contig
     # and its reverse-complement twin) survive based on the exact introsort
-    # permutation, so replicate it (utils/libstdcxx_sort)
-    order = libstdcxx_sort(list(range(len(contigs))),
-                           lambda i, j: len(contigs[i]) > len(contigs[j]))
+    # permutation — use the ACTUAL libstdc++ std::sort natively, with the
+    # Python replica (utils/libstdcxx_sort) as oracle/fallback
+    from alga_tpu import native as _nat
+    if _nat.available():
+        lens = np.fromiter((len(c) for c in contigs), dtype=np.int64,
+                           count=len(contigs))
+        order = _nat.sort_len_desc(lens).tolist()
+    else:
+        order = libstdcxx_sort(list(range(len(contigs))),
+                               lambda i, j: len(contigs[i]) > len(contigs[j]))
     out = []
     new_id = 0
     for i in order:

@@ -156,6 +156,23 @@ def get_lib():
         u64p, i32p, ctypes.c_int64,
         u32p, ctypes.c_int64,
         i32p, i32p, i32p, ctypes.c_int64, ctypes.c_int32, i64p]
+    lib.alga_mark_prefix.restype = None
+    lib.alga_mark_prefix.argtypes = [
+        u32p, ctypes.c_int64, i64p, i64p, ctypes.c_int64,
+        u8p, u8p, ctypes.c_int32]
+    lib.alga_sort_len_desc.restype = None
+    lib.alga_sort_len_desc.argtypes = [ctypes.c_int64, i64p, i32p]
+    lib.alga_prefix_keys.restype = None
+    lib.alga_prefix_keys.argtypes = [
+        u32p, ctypes.c_int64, i64p, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_uint32, ctypes.c_uint32, u64p, ctypes.c_int32]
+    lib.alga_gcps_join_verify_packed.restype = ctypes.c_int64
+    lib.alga_gcps_join_verify_packed.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, i64p, u8p,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_uint32, ctypes.c_uint32,
+        u64p, i32p, ctypes.c_int64,
+        u32p, ctypes.c_int64,
+        i32p, i32p, i32p, ctypes.c_int64, ctypes.c_int32, i64p]
     _lib = lib
     return lib
 
@@ -586,3 +603,67 @@ def graph_unpack(data: np.ndarray, n: int, m: int):
     if e < 0 or e != m:
         raise ValueError("truncated reference graph file")
     return src[:m], dst[:m], off[:m]
+
+def prefix_keys(packed, ids, k: int, a1, a2, threads: int = 0) -> np.ndarray:
+    """uint64[len(ids)] window-0 double-hash keys straight from the packed
+    store (twin of window_hash(...)[ids, 0] without the codes unpack)."""
+    lib = get_lib()
+    pk = np.ascontiguousarray(packed, dtype=np.uint32)
+    ids = np.ascontiguousarray(ids, dtype=np.int64)
+    out = np.empty(max(len(ids), 1), dtype=np.uint64)
+    lib.alga_prefix_keys(pk, pk.shape[1], ids, len(ids), k,
+                         int(a1), int(a2), out, threads)
+    return out[: len(ids)]
+
+
+def gcps_join_verify_packed(n: int, nw: int, lengths, af, k: int, cap: int,
+                            a1, a2, table_keys_sorted, table_ids,
+                            packed, threads: int = 0):
+    """(src, dst, ell): like gcps_join_verify but the probe-side window
+    hashes roll inline from the packed store — no uint64[n, nw] key
+    matrix, no codes unpack (match order identical)."""
+    lib = get_lib()
+    lens = np.ascontiguousarray(lengths, dtype=np.int64)
+    afc = np.ascontiguousarray(af, dtype=np.uint8)
+    tk = np.ascontiguousarray(table_keys_sorted, dtype=np.uint64)
+    ti = np.ascontiguousarray(table_ids, dtype=np.int32)
+    pk = np.ascontiguousarray(packed, dtype=np.uint32)
+    out_cap = max(4 * n, 1 << 16)
+    cand = np.zeros(1, dtype=np.int64)
+    while True:
+        src = np.empty(out_cap, dtype=np.int32)
+        dst = np.empty(out_cap, dtype=np.int32)
+        ell = np.empty(out_cap, dtype=np.int32)
+        m = lib.alga_gcps_join_verify_packed(
+            n, nw, lens, afc, k, cap, int(a1), int(a2), tk, ti, len(tk),
+            pk, pk.shape[1], src, dst, ell, out_cap, threads, cand)
+        if m <= out_cap:
+            from alga_tpu.utils.timers import bump
+            bump("gcps_candidates", int(cand[0]))
+            return src[:m].copy(), dst[:m].copy(), ell[:m].copy()
+        out_cap = m
+
+def mark_prefix(packed, ids, lengths, threads: int = 0):
+    """(rm bool[nv], rm_rc bool[nv]) for the valid rows `ids`: native twin
+    of fastx.mark_prefix_reads' sort + adjacent-LCP scan."""
+    lib = get_lib()
+    pk = np.ascontiguousarray(packed, dtype=np.uint32)
+    ids = np.ascontiguousarray(ids, dtype=np.int64)
+    lens = np.ascontiguousarray(lengths, dtype=np.int64)
+    nv = len(ids)
+    rm = np.zeros(max(nv, 1), dtype=np.uint8)
+    rmrc = np.zeros(max(nv, 1), dtype=np.uint8)
+    if nv:
+        lib.alga_mark_prefix(pk, pk.shape[1], ids, lens, nv, rm, rmrc,
+                             threads)
+    return rm[:nv].astype(bool), rmrc[:nv].astype(bool)
+
+
+def sort_len_desc(keys) -> np.ndarray:
+    """int32[n] index permutation of libstdc++ std::sort by key DESC (the
+    reference's contig-length sort; oracle: utils/libstdcxx_sort.py)."""
+    lib = get_lib()
+    keys = np.ascontiguousarray(keys, dtype=np.int64)
+    idx = np.empty(max(len(keys), 1), dtype=np.int32)
+    lib.alga_sort_len_desc(len(keys), keys, idx)
+    return idx[: len(keys)]

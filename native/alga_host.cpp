@@ -2187,3 +2187,221 @@ int64_t alga_graph_record_starts(const int32_t* data, int64_t len,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Round-5 host hot-path rework (920k-config shave, VERDICT r5 item 1c):
+//  * join-verify with INLINE rolling window hashes read straight from the
+//    2-bit packed store — removes the uint8 codes unpack AND the
+//    uint64[n, nw] window-key materialization (231 MB of traffic at the
+//    920k config) from the host GCPS;
+//  * prefix keys (window 0) from packed, the only table the join needs;
+//  * native prefix/duplicate marking (field-reversed big-endian keys +
+//    2-way parallel stable merge sort + adjacent-LCP scan), twin of
+//    io/fastx.mark_prefix_reads;
+//  * libstdc++ std::sort on contig lengths (the ACTUAL introsort the
+//    reference runs — the Python replica exists as the oracle).
+
+extern "C" {
+
+static inline uint32_t alga_base_at(const uint32_t* rb, int64_t W, int64_t i) {
+    return (i >> 4) < W ? (rb[i >> 4] >> ((i & 15) * 2)) & 3u : 0u;
+}
+
+void alga_prefix_keys(const uint32_t* packed, int64_t W, const int64_t* ids,
+                      int64_t nids, int32_t k, uint32_t a1, uint32_t a2,
+                      uint64_t* out, int threads) {
+    parallel_ranges(nids, threads, [&](int, int64_t lo, int64_t hi) {
+        for (int64_t t = lo; t < hi; t++) {
+            const uint32_t* rb = packed + ids[t] * W;
+            uint32_t h1 = 0, h2 = 0;
+            for (int32_t j = 0; j < k; j++) {
+                uint32_t c = alga_base_at(rb, W, j);
+                h1 = h1 * a1 + c;
+                h2 = h2 * a2 + c;
+            }
+            out[t] = ((uint64_t)h1 << 32) | h2;
+        }
+    }, 1024);
+}
+
+int64_t alga_gcps_join_verify_packed(
+    int64_t n, int64_t nw,
+    const int64_t* lengths, const uint8_t* af,
+    int32_t k, int32_t cap, uint32_t a1, uint32_t a2,
+    const uint64_t* tkeys, const int32_t* tids, int64_t nt,
+    const uint32_t* packed, int64_t W,
+    int32_t* out_src, int32_t* out_dst, int32_t* out_ell, int64_t out_cap,
+    int threads, int64_t* out_candidates) {
+
+    gcpsjoin::HashTable ht;
+    ht.build(tkeys, nt);
+
+    uint32_t ak1 = 1, ak2 = 1;
+    for (int32_t i = 0; i < k - 1; i++) { ak1 *= a1; ak2 *= a2; }
+
+    int T = resolve_threads(threads);
+    if (force_seq() || n < 4096) T = 1;
+    std::vector<std::vector<int32_t>> bufs(T);
+    std::vector<int64_t> cand(T, 0);
+    std::vector<std::thread> ths;
+    int64_t blk = (n + T - 1) / T;
+
+    auto job = [&](int t) {
+        int64_t lo_r = t * blk, hi_r = std::min(n, (t + 1) * blk);
+        auto& out = bufs[t];
+        int64_t ncand = 0;
+        for (int64_t B = lo_r; B < hi_r; B++) {
+            if (!af[B]) continue;
+            int64_t lenB = lengths[B];
+            int64_t p_end = std::min((int64_t)nw - 1, lenB - k);
+            int64_t p_beg = std::max((int64_t)0, lenB - cap);
+            if (p_beg > p_end) continue;
+            const uint32_t* rb = packed + B * W;
+            // rolling double hash of window [p, p+k) starting at p_beg
+            uint32_t h1 = 0, h2 = 0;
+            for (int64_t j = p_beg; j < p_beg + k; j++) {
+                uint32_t c = alga_base_at(rb, W, j);
+                h1 = h1 * a1 + c;
+                h2 = h2 * a2 + c;
+            }
+            for (int64_t p = p_beg; p <= p_end; p++) {
+                uint64_t keyv = ((uint64_t)h1 << 32) | h2;
+                int64_t tl, tc;
+                if (ht.find(keyv, tl, tc)) {
+                    ncand += tc;
+                    int64_t ell = lenB - p;
+                    for (int64_t j = tl; j < tl + tc; j++) {
+                        int32_t C = tids[j];
+                        if (C == B || lengths[C] < ell) continue;
+                        if (!gcpsjoin::substr_eq(rb, packed + (int64_t)C * W,
+                                                 W, p, ell)) continue;
+                        out.push_back((int32_t)B);
+                        out.push_back(C);
+                        out.push_back((int32_t)ell);
+                    }
+                }
+                uint32_t cp = alga_base_at(rb, W, p);
+                uint32_t cn = alga_base_at(rb, W, p + k);
+                h1 = (h1 - cp * ak1) * a1 + cn;
+                h2 = (h2 - cp * ak2) * a2 + cn;
+            }
+        }
+        cand[t] = ncand;
+    };
+    if (T == 1) {
+        job(0);
+    } else {
+        for (int t = 0; t < T; t++) ths.emplace_back(job, t);
+        for (auto& th : ths) th.join();
+    }
+
+    if (out_candidates) {
+        int64_t c = 0;
+        for (auto v : cand) c += v;
+        *out_candidates = c;
+    }
+    int64_t total = 0;
+    for (auto& b : bufs) total += (int64_t)b.size() / 3;
+    if (total > out_cap) return total;
+    int64_t w = 0;
+    for (auto& b : bufs)
+        for (size_t i = 0; i < b.size(); i += 3) {
+            out_src[w] = b[i];
+            out_dst[w] = b[i + 1];
+            out_ell[w] = b[i + 2];
+            w++;
+        }
+    return total;
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// Native twin of io/fastx.mark_prefix_reads (ref ReadPreprocess::
+// getPrefixReads, mode PREF_READS_ALL_PREFIX_READS): field-reversed
+// packed words give base-lexicographic numeric order; sort valid rows,
+// adjacent-scan for prefix containment.  out_rm[t] = row t is a
+// duplicate/prefix of its successor; out_rm_rc[t] = additionally a
+// STRICT prefix (its revcomp is a proper suffix -> also removed).
+void alga_mark_prefix(const uint32_t* packed, int64_t W,
+                      const int64_t* ids, const int64_t* lengths,
+                      int64_t nv, uint8_t* out_rm, uint8_t* out_rm_rc,
+                      int threads) {
+    if (nv == 0) return;
+    // field-reversed key matrix (base 0 in the most significant 2 bits)
+    std::vector<uint32_t> rev((size_t)nv * W);
+    parallel_ranges(nv, threads, [&](int, int64_t lo, int64_t hi) {
+        for (int64_t t = lo; t < hi; t++) {
+            const uint32_t* rb = packed + ids[t] * W;
+            uint32_t* o = rev.data() + t * W;
+            for (int64_t w = 0; w < W; w++) {
+                uint32_t x = rb[w];
+                x = ((x & 0x33333333u) << 2) | ((x >> 2) & 0x33333333u);
+                x = ((x & 0x0F0F0F0Fu) << 4) | ((x >> 4) & 0x0F0F0F0Fu);
+                x = ((x & 0x00FF00FFu) << 8) | ((x >> 8) & 0x00FF00FFu);
+                o[w] = (x << 16) | (x >> 16);
+            }
+        }
+    }, 1024);
+
+    auto cmp = [&](int64_t a, int64_t b) {
+        const uint32_t* ka = rev.data() + a * W;
+        const uint32_t* kb = rev.data() + b * W;
+        for (int64_t w = 0; w < W; w++)
+            if (ka[w] != kb[w]) return ka[w] < kb[w];
+        if (lengths[a] != lengths[b]) return lengths[a] < lengths[b];
+        return a < b;                     // strict total order == stable
+    };
+    std::vector<int64_t> ord(nv);
+    for (int64_t i = 0; i < nv; i++) ord[i] = i;
+    int T = resolve_threads(threads);
+    if (force_seq() || nv < (1 << 16) || T < 2) {
+        std::sort(ord.begin(), ord.end(), cmp);
+    } else {
+        int64_t mid = nv / 2;
+        std::thread th([&] {
+            std::sort(ord.begin(), ord.begin() + mid, cmp); });
+        std::sort(ord.begin() + mid, ord.end(), cmp);
+        th.join();
+        std::inplace_merge(ord.begin(), ord.begin() + mid, ord.end(), cmp);
+    }
+
+    parallel_ranges(nv - 1, threads, [&](int, int64_t lo, int64_t hi) {
+        for (int64_t t = lo; t < hi; t++) {
+            int64_t a = ord[t], b = ord[t + 1];
+            const uint32_t* ka = rev.data() + a * W;
+            const uint32_t* kb = rev.data() + b * W;
+            int64_t fm = 16 * W;          // content-equal up to padding
+            for (int64_t w = 0; w < W; w++) {
+                uint32_t x = ka[w] ^ kb[w];
+                if (x) { fm = 16 * w + __builtin_clz(x) / 2; break; }
+            }
+            if (fm >= lengths[a]) {
+                out_rm[t] = 1;
+                if (lengths[a] < lengths[b]) out_rm_rc[t] = 1;
+            }
+        }
+    }, 4096);
+    // flags are positional over the SORTED order; the caller maps
+    // ord[t] back to ids — emit the permutation through out-of-band?
+    // Simpler: rewrite flags in place to row-indexed.
+    std::vector<uint8_t> rm((size_t)nv, 0), rmrc((size_t)nv, 0);
+    for (int64_t t = 0; t + 1 < nv; t++) {
+        if (out_rm[t]) rm[ord[t]] = 1;
+        if (out_rm_rc[t]) rmrc[ord[t]] = 1;
+    }
+    std::memcpy(out_rm, rm.data(), nv);
+    std::memcpy(out_rm_rc, rmrc.data(), nv);
+}
+
+// libstdc++ std::sort permutation of indices by key desc (the ACTUAL
+// introsort the reference runs on contig lengths; the Python replica
+// utils/libstdcxx_sort.py is the oracle).
+void alga_sort_len_desc(int64_t n, const int64_t* keys, int32_t* idx) {
+    for (int64_t i = 0; i < n; i++) idx[i] = (int32_t)i;
+    std::sort(idx, idx + n,
+              [&](int32_t a, int32_t b) { return keys[a] > keys[b]; });
+}
+
+}  // extern "C"

@@ -280,3 +280,42 @@ def test_pfasta_load_read_batch_matches_fasta(tmp_path, rng):
     assert np.array_equal(np.asarray(b1.packed), np.asarray(b2.packed))
     assert np.array_equal(np.asarray(b1.lengths), np.asarray(b2.lengths))
     assert np.array_equal(np.asarray(b1.valid), np.asarray(b2.valid))
+
+
+def test_mark_prefix_native_vs_numpy(rng):
+    """Round-5 native mark_prefix == the numpy packed formulation (which is
+    itself differential-tested against the unpacked oracle above)."""
+    from alga_tpu import native
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    g = random_genome(rng, 3000)
+    reads = []
+    for _ in range(400):
+        L = int(rng.integers(30, 90))
+        p = int(rng.integers(0, 3000 - L))
+        reads.append(g[p : p + L])
+    # inject exact duplicates and strict prefixes
+    reads += [reads[0], reads[1][:40], reads[2][:25], reads[3]]
+    b1 = fastx.build_read_batch(reads, trim_left=0, trim_right=0)
+    b2 = fastx.build_read_batch(reads, trim_left=0, trim_right=0)
+    m_nat = fastx.mark_prefix_reads(b1)
+    import unittest.mock as mock
+    with mock.patch.object(native, "available", lambda: False):
+        m_np = fastx.mark_prefix_reads(b2)
+    assert np.array_equal(m_nat, m_np)
+    assert m_nat.any()
+
+
+def test_sort_len_desc_native_vs_replica(rng):
+    """libstdc++ std::sort permutation == the Python introsort replica
+    (equal keys resolve by the same unstable permutation)."""
+    from alga_tpu import native
+    from alga_tpu.utils.libstdcxx_sort import libstdcxx_sort
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    for n in (0, 1, 2, 15, 16, 17, 100, 1000, 5000):
+        keys = rng.integers(0, max(n // 3, 1) + 1, n).astype(np.int64)
+        got = native.sort_len_desc(keys).tolist()
+        want = libstdcxx_sort(list(range(n)),
+                              lambda i, j: keys[i] > keys[j])
+        assert got == want, f"n={n}: permutation diverges"
