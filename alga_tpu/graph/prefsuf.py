@@ -94,6 +94,30 @@ def find_exact_overlaps(packed, lengths, ell_min: int, cap: int,
     af = np.ones(n, dtype=bool) if align_from is None else np.asarray(align_from, dtype=bool)
     at = np.ones(n, dtype=bool) if align_to is None else np.asarray(align_to, dtype=bool)
 
+    from alga_tpu import native as _nat0
+    import jax as _jax0
+    if _nat0.available() and _jax0.default_backend() == "cpu":
+        # the native fused join rolls only windows p in [len-cap, len-k]
+        # per row, so it handles long sequences (the contig-trim graph)
+        # directly — no tail-compacted matrix, no codes unpack (round 5:
+        # the old tail branch unpacked a [3004, 83k] codes matrix twice
+        # at the flagship config)
+        pvalid = (lengths >= k) & at
+        pref_ids = np.flatnonzero(pvalid)
+        pk = _nat0.prefix_keys(np.asarray(packed), pref_ids, k,
+                               hashes.A1, hashes.A2)
+        order = np.argsort(pk, kind="stable")
+        num_windows = max_len - k + 1
+        src, dst, ell = _nat0.gcps_join_verify_packed(
+            n, num_windows, lengths, af & (lengths >= k), k, cap,
+            hashes.A1, hashes.A2,
+            pk[order], pref_ids[order].astype(np.int32),
+            np.asarray(packed))
+        from alga_tpu.utils.timers import bump
+        bump("gcps_matches", len(src))
+        return OverlapMatches(src.astype(np.int64), dst.astype(np.int64),
+                              ell.astype(np.int64))
+
     if max_len > cap + (cap >> 2):
         # long sequences (the contig-trim graph): only the last `cap`
         # positions of each sequence can be a suffix window (ell <= cap),

@@ -65,7 +65,13 @@ def trim_contigs(contigs: list[Contig], threshold: int = 25,
     fwd = [c.seq for c in contigs]
     rev = [_revcomp(c.seq) for c in contigs]
     seqs = fwd + rev
-    packed, lengths = packing.pack_strings(seqs)
+    from alga_tpu import native as _nat
+    if _nat.available():
+        # ragged pack: no padded [n, max_len] byte/code matrices (251 MB
+        # at the flagship config's trim pass)
+        packed, lengths = _nat.pack_ragged(seqs)
+    else:
+        packed, lengths = packing.pack_strings(seqs)
     g = prefsuf.build_gcps_graph(
         packed, lengths, len(seqs), ell_min=threshold, cap=read_cap,
         rsoe=threshold)

@@ -156,6 +156,9 @@ def get_lib():
         u64p, i32p, ctypes.c_int64,
         u32p, ctypes.c_int64,
         i32p, i32p, i32p, ctypes.c_int64, ctypes.c_int32, i64p]
+    lib.alga_pack_ragged.restype = None
+    lib.alga_pack_ragged.argtypes = [
+        u8p, i64p, ctypes.c_int64, ctypes.c_int64, u32p, ctypes.c_int32]
     lib.alga_mark_prefix.restype = None
     lib.alga_mark_prefix.argtypes = [
         u32p, ctypes.c_int64, i64p, i64p, ctypes.c_int64,
@@ -667,3 +670,22 @@ def sort_len_desc(keys) -> np.ndarray:
     idx = np.empty(max(len(keys), 1), dtype=np.int32)
     lib.alga_sort_len_desc(len(keys), keys, idx)
     return idx[: len(keys)]
+
+def pack_ragged(seqs, width_words: int | None = None):
+    """(packed uint32[n, W], lengths int64[n]) from a list of ACGT strings
+    without the padded byte/code matrices of packing.pack_strings."""
+    lib = get_lib()
+    n = len(seqs)
+    buf = "".join(seqs).encode("ascii")
+    lens = np.fromiter((len(s) for s in seqs), dtype=np.int64, count=n)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    max_len = int(lens.max(initial=0))
+    W = width_words if width_words is not None else max(1, (max_len + 15) // 16)
+    out = np.zeros((max(n, 1), W), dtype=np.uint32)
+    if n:
+        b = np.frombuffer(buf, dtype=np.uint8)
+        if len(b) == 0:
+            b = np.zeros(1, dtype=np.uint8)
+        lib.alga_pack_ragged(np.ascontiguousarray(b), offsets, n, W, out, 0)
+    return out[:n], lens

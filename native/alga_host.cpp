@@ -950,6 +950,23 @@ inline bool packed_substr_eq(const uint32_t* pa, const uint32_t* pb,
 
 struct MatchRec { int32_t src, dst, ell; };
 
+// 2-way parallel sort (split + std::sort halves + inplace_merge): the
+// flagship config sorts 51M match records four times in gcps_from_matches
+// — single-threaded std::sort left a core idle for ~20s.
+template <typename T, typename Cmp>
+static void par_sort(std::vector<T>& v, Cmp cmp) {
+    size_t n = v.size();
+    if (force_seq() || n < (1 << 16)) {
+        std::sort(v.begin(), v.end(), cmp);
+        return;
+    }
+    size_t mid = n / 2;
+    std::thread th([&] { std::sort(v.begin(), v.begin() + mid, cmp); });
+    std::sort(v.begin() + mid, v.end(), cmp);
+    th.join();
+    std::inplace_merge(v.begin(), v.begin() + mid, v.end(), cmp);
+}
+
 }  // namespace
 
 extern "C" {
@@ -973,7 +990,7 @@ int64_t alga_gcps_from_matches(
     }
 
     // regime-1 ring: sort (src, ell, dst); keep last `soes` per src
-    std::sort(r1.begin(), r1.end(), [](const MatchRec& a, const MatchRec& b) {
+    par_sort(r1, [](const MatchRec& a, const MatchRec& b) {
         if (a.src != b.src) return a.src < b.src;
         if (a.ell != b.ell) return a.ell < b.ell;
         return a.dst < b.dst;
@@ -993,7 +1010,7 @@ int64_t alga_gcps_from_matches(
     for (auto& m : r2) inst.push_back(m);
 
     // --- per-pair max-ell --------------------------------------------------
-    std::sort(inst.begin(), inst.end(), [](const MatchRec& a, const MatchRec& b) {
+    par_sort(inst, [](const MatchRec& a, const MatchRec& b) {
         if (a.src != b.src) return a.src < b.src;
         if (a.dst != b.dst) return a.dst < b.dst;
         return a.ell < b.ell;
@@ -1008,13 +1025,13 @@ int64_t alga_gcps_from_matches(
 
     // --- domination pruning ------------------------------------------------
     // removers = ALL regime-2 matches grouped by dst, sorted (dst, ell, src)
-    std::sort(r2.begin(), r2.end(), [](const MatchRec& a, const MatchRec& b) {
+    par_sort(r2, [](const MatchRec& a, const MatchRec& b) {
         if (a.dst != b.dst) return a.dst < b.dst;
         if (a.ell != b.ell) return a.ell < b.ell;
         return a.src < b.src;
     });
     // pairs grouped by dst too
-    std::sort(pairs.begin(), pairs.end(), [](const MatchRec& a, const MatchRec& b) {
+    par_sort(pairs, [](const MatchRec& a, const MatchRec& b) {
         if (a.dst != b.dst) return a.dst < b.dst;
         return a.src < b.src;
     });
@@ -1808,6 +1825,68 @@ void alga_window_hash(const uint8_t* codes, int64_t n, int64_t lpad,
 
 namespace gcpsjoin {
 
+// Interleaved open-addressed table: ONE 16-byte slot (key, lo<<20|cnt)
+// per entry so a probe touches a single cache line, plus an explicit
+// prefetch hook — the 16M-config join is DRAM-latency-bound (348M
+// probes into a table far beyond LLC; separate key/lo/cnt arrays cost
+// 2-3 misses per probe and measured 73s host-side).
+struct HashTable2 {
+    struct Slot { uint64_t key; uint64_t val; };
+    std::vector<Slot> slot;
+    uint64_t mask = 0;
+    int64_t empty_lo = -1, empty_cnt = 0;
+    static constexpr uint64_t CNT_BITS = 24;   // run length < 2^24
+    static constexpr uint64_t CNT_MASK = (1ull << CNT_BITS) - 1;
+
+    void build(const uint64_t* tkeys, int64_t nt) {
+        int64_t ndist = 0;
+        for (int64_t i = 0; i < nt; i++)
+            if (i == 0 || tkeys[i] != tkeys[i - 1]) ndist++;
+        uint64_t cap = 1;
+        while (cap < (uint64_t)ndist * 2 + 2) cap <<= 1;
+        mask = cap - 1;
+        slot.assign(cap, Slot{~0ull, 0});
+        for (int64_t i = 0; i < nt;) {
+            int64_t j = i;
+            while (j < nt && tkeys[j] == tkeys[i]) j++;
+            if (tkeys[i] == ~0ull) {
+                empty_lo = i;
+                empty_cnt = j - i;
+            } else {
+                uint64_t h = joinx::mix64(tkeys[i]) & mask;
+                while (slot[h].key != ~0ull) h = (h + 1) & mask;
+                slot[h].key = tkeys[i];
+                slot[h].val = ((uint64_t)i << CNT_BITS) | (uint64_t)(j - i);
+            }
+            i = j;
+        }
+    }
+
+    inline void prefetch(uint64_t k) const {
+        __builtin_prefetch(&slot[joinx::mix64(k) & mask], 0, 1);
+    }
+
+    inline bool find(uint64_t k, int64_t& l, int64_t& c) const {
+        if (k == ~0ull) {
+            if (empty_lo < 0) return false;
+            l = empty_lo;
+            c = empty_cnt;
+            return true;
+        }
+        uint64_t h = joinx::mix64(k) & mask;
+        while (true) {
+            const Slot& s = slot[h];
+            if (s.key == k) {
+                l = (int64_t)(s.val >> CNT_BITS);
+                c = (int64_t)(s.val & CNT_MASK);
+                return true;
+            }
+            if (s.key == ~0ull) return false;
+            h = (h + 1) & mask;
+        }
+    }
+};
+
 struct HashTable {
     std::vector<uint64_t> key;
     std::vector<int64_t> lo, cnt;
@@ -2233,15 +2312,167 @@ int64_t alga_gcps_join_verify_packed(
     int32_t* out_src, int32_t* out_dst, int32_t* out_ell, int64_t out_cap,
     int threads, int64_t* out_candidates) {
 
-    gcpsjoin::HashTable ht;
-    ht.build(tkeys, nt);
-
     uint32_t ak1 = 1, ak2 = 1;
     for (int32_t i = 0; i < k - 1; i++) { ak1 *= a1; ak2 *= a2; }
 
     int T = resolve_threads(threads);
     if (force_seq() || n < 4096) T = 1;
-    std::vector<std::vector<int32_t>> bufs(T);
+
+    // ---- partitioned path (DRAM-latency fix for multi-million-read runs):
+    // the single open-addressed table is far beyond LLC at 7M+ entries and
+    // every probe is a dependent cache miss (measured 63s of the 16M
+    // config's GCPS).  Partition the table by the top hash bits so each
+    // partition is LLC/L2-resident, bucket each row-chunk's probes by
+    // partition (sequential-bandwidth scatter), then probe partition-major.
+    // Emission order is restored EXACTLY (B asc, window asc, table-run asc)
+    // by sorting each thread's matches on a (B, p, j) sequence key, so the
+    // result is bit-identical to the single-table path.
+    bool partitioned = (n >= (1 << 20)) && (n < (1ll << 27))
+                       && nt < (1ll << 27) && nw <= 1024;
+    if (const char* e = getenv("ALGA_JOIN_PART"))
+        partitioned = partitioned && e[0] != '0';
+
+    if (!partitioned) {
+        gcpsjoin::HashTable2 ht;
+        ht.build(tkeys, nt);
+        std::vector<std::vector<int32_t>> bufs(T);
+        std::vector<int64_t> cand(T, 0);
+        std::vector<std::thread> ths;
+        int64_t blk = (n + T - 1) / T;
+        auto job = [&](int t) {
+            int64_t lo_r = t * blk, hi_r = std::min(n, (t + 1) * blk);
+            auto& out = bufs[t];
+            int64_t ncand = 0;
+            std::vector<uint64_t> keybuf(1024);
+            for (int64_t B = lo_r; B < hi_r; B++) {
+                if (!af[B]) continue;
+                int64_t lenB = lengths[B];
+                int64_t p_end = std::min((int64_t)nw - 1, lenB - k);
+                int64_t p_beg = std::max((int64_t)0, lenB - cap);
+                if (p_beg > p_end) continue;
+                const uint32_t* rb = packed + B * W;
+                int64_t nwin = p_end - p_beg + 1;
+                if ((int64_t)keybuf.size() < nwin) keybuf.resize(nwin);
+                uint32_t h1 = 0, h2 = 0;
+                for (int64_t j = p_beg; j < p_beg + k; j++) {
+                    uint32_t c = alga_base_at(rb, W, j);
+                    h1 = h1 * a1 + c;
+                    h2 = h2 * a2 + c;
+                }
+                const int64_t D = 8;
+                for (int64_t t2 = 0; t2 < nwin; t2++) {
+                    uint64_t keyv = ((uint64_t)h1 << 32) | h2;
+                    keybuf[t2] = keyv;
+                    if (t2 < D) ht.prefetch(keyv);
+                    int64_t p = p_beg + t2;
+                    uint32_t cp = alga_base_at(rb, W, p);
+                    uint32_t cn = alga_base_at(rb, W, p + k);
+                    h1 = (h1 - cp * ak1) * a1 + cn;
+                    h2 = (h2 - cp * ak2) * a2 + cn;
+                }
+                for (int64_t t2 = 0; t2 < nwin; t2++) {
+                    if (t2 + D < nwin) ht.prefetch(keybuf[t2 + D]);
+                    int64_t p = p_beg + t2;
+                    int64_t tl, tc;
+                    if (ht.find(keybuf[t2], tl, tc)) {
+                        ncand += tc;
+                        int64_t ell = lenB - p;
+                        for (int64_t j = tl; j < tl + tc; j++) {
+                            int32_t C = tids[j];
+                            if (C == B || lengths[C] < ell) continue;
+                            if (!gcpsjoin::substr_eq(
+                                    rb, packed + (int64_t)C * W, W, p, ell))
+                                continue;
+                            out.push_back((int32_t)B);
+                            out.push_back(C);
+                            out.push_back((int32_t)ell);
+                        }
+                    }
+                }
+            }
+            cand[t] = ncand;
+        };
+        if (T == 1) job(0);
+        else {
+            for (int t = 0; t < T; t++) ths.emplace_back(job, t);
+            for (auto& th : ths) th.join();
+        }
+        if (out_candidates) {
+            int64_t c = 0;
+            for (auto v : cand) c += v;
+            *out_candidates = c;
+        }
+        int64_t total = 0;
+        for (auto& b : bufs) total += (int64_t)b.size() / 3;
+        if (total > out_cap) return total;
+        int64_t w = 0;
+        for (auto& b : bufs)
+            for (size_t i = 0; i < b.size(); i += 3) {
+                out_src[w] = b[i];
+                out_dst[w] = b[i + 1];
+                out_ell[w] = b[i + 2];
+                w++;
+            }
+        return total;
+    }
+
+    // partition count: keep each partition's table ~1-2 MB (L2-resident)
+    constexpr int PB = 8;                 // 256 partitions
+    constexpr int NP = 1 << PB;
+    struct Part {
+        std::vector<uint64_t> key;        // distinct keys of this partition
+        std::vector<uint64_t> val;        // lo << 24 | cnt
+        std::vector<gcpsjoin::HashTable2::Slot> slot;
+        uint64_t mask = 0;
+        int64_t empty_lo = -1, empty_cnt = 0;
+        void build() {
+            uint64_t capp = 1;
+            while (capp < key.size() * 2 + 2) capp <<= 1;
+            mask = capp - 1;
+            slot.assign(capp, {~0ull, 0});
+            for (size_t i = 0; i < key.size(); i++) {
+                uint64_t h = joinx::mix64(key[i]) & mask;
+                while (slot[h].key != ~0ull) h = (h + 1) & mask;
+                slot[h] = {key[i], val[i]};
+            }
+        }
+        inline bool find(uint64_t kk, int64_t& l, int64_t& c) const {
+            if (kk == ~0ull) {
+                if (empty_lo < 0) return false;
+                l = empty_lo; c = empty_cnt; return true;
+            }
+            uint64_t h = joinx::mix64(kk) & mask;
+            while (true) {
+                const auto& sl = slot[h];
+                if (sl.key == kk) {
+                    l = (int64_t)(sl.val >> 24);
+                    c = (int64_t)(sl.val & 0xFFFFFF);
+                    return true;
+                }
+                if (sl.key == ~0ull) return false;
+                h = (h + 1) & mask;
+            }
+        }
+    };
+    std::vector<Part> parts(NP);
+    for (int64_t i = 0; i < nt;) {
+        int64_t j = i;
+        while (j < nt && tkeys[j] == tkeys[i]) j++;
+        uint64_t kk = tkeys[i];
+        int pi = (int)(joinx::mix64(kk) >> (64 - PB));
+        if (kk == ~0ull) {
+            parts[pi].empty_lo = i;
+            parts[pi].empty_cnt = j - i;
+        } else {
+            parts[pi].key.push_back(kk);
+            parts[pi].val.push_back(((uint64_t)i << 24) | (uint64_t)(j - i));
+        }
+        i = j;
+    }
+    for (auto& pp : parts) pp.build();
+
+    struct MatchRec4 { uint64_t seq; int32_t B, C, ell, pad; };
+    std::vector<std::vector<MatchRec4>> bufs(T);
     std::vector<int64_t> cand(T, 0);
     std::vector<std::thread> ths;
     int64_t blk = (n + T - 1) / T;
@@ -2250,47 +2481,98 @@ int64_t alga_gcps_join_verify_packed(
         int64_t lo_r = t * blk, hi_r = std::min(n, (t + 1) * blk);
         auto& out = bufs[t];
         int64_t ncand = 0;
-        for (int64_t B = lo_r; B < hi_r; B++) {
-            if (!af[B]) continue;
-            int64_t lenB = lengths[B];
-            int64_t p_end = std::min((int64_t)nw - 1, lenB - k);
-            int64_t p_beg = std::max((int64_t)0, lenB - cap);
-            if (p_beg > p_end) continue;
-            const uint32_t* rb = packed + B * W;
-            // rolling double hash of window [p, p+k) starting at p_beg
-            uint32_t h1 = 0, h2 = 0;
-            for (int64_t j = p_beg; j < p_beg + k; j++) {
-                uint32_t c = alga_base_at(rb, W, j);
-                h1 = h1 * a1 + c;
-                h2 = h2 * a2 + c;
+        // probe buffers: (key, B<<10|p) per partition
+        struct Probe { uint64_t key; uint64_t bp; };
+        std::vector<std::vector<Probe>> pb(NP);
+        struct Hit { int64_t tl, tc; int32_t B, p; };
+        std::vector<Hit> hits;
+        const int64_t CHUNK_PROBES = 4 << 20;
+        int64_t B = lo_r;
+        while (B < hi_r) {
+            for (auto& v : pb) v.clear();
+            int64_t acc = 0;
+            int64_t Bend = B;
+            while (Bend < hi_r && acc < CHUNK_PROBES) {
+                if (af[Bend]) acc += std::max((int64_t)0,
+                    std::min((int64_t)nw - 1, lengths[Bend] - k)
+                    - std::max((int64_t)0, lengths[Bend] - cap) + 1);
+                Bend++;
             }
-            for (int64_t p = p_beg; p <= p_end; p++) {
-                uint64_t keyv = ((uint64_t)h1 << 32) | h2;
-                int64_t tl, tc;
-                if (ht.find(keyv, tl, tc)) {
-                    ncand += tc;
-                    int64_t ell = lenB - p;
-                    for (int64_t j = tl; j < tl + tc; j++) {
-                        int32_t C = tids[j];
-                        if (C == B || lengths[C] < ell) continue;
-                        if (!gcpsjoin::substr_eq(rb, packed + (int64_t)C * W,
-                                                 W, p, ell)) continue;
-                        out.push_back((int32_t)B);
-                        out.push_back(C);
-                        out.push_back((int32_t)ell);
+            // pass 1: roll + scatter probes
+            for (int64_t Bi = B; Bi < Bend; Bi++) {
+                if (!af[Bi]) continue;
+                int64_t lenB = lengths[Bi];
+                int64_t p_end = std::min((int64_t)nw - 1, lenB - k);
+                int64_t p_beg = std::max((int64_t)0, lenB - cap);
+                if (p_beg > p_end) continue;
+                const uint32_t* rb = packed + Bi * W;
+                uint32_t h1 = 0, h2 = 0;
+                for (int64_t j = p_beg; j < p_beg + k; j++) {
+                    uint32_t c = alga_base_at(rb, W, j);
+                    h1 = h1 * a1 + c;
+                    h2 = h2 * a2 + c;
+                }
+                for (int64_t p = p_beg; p <= p_end; p++) {
+                    uint64_t keyv = ((uint64_t)h1 << 32) | h2;
+                    int pi = (int)(joinx::mix64(keyv) >> (64 - PB));
+                    pb[pi].push_back({keyv,
+                        ((uint64_t)Bi << 10) | (uint64_t)p});
+                    uint32_t cp = alga_base_at(rb, W, p);
+                    uint32_t cn = alga_base_at(rb, W, p + k);
+                    h1 = (h1 - cp * ak1) * a1 + cn;
+                    h2 = (h2 - cp * ak2) * a2 + cn;
+                }
+            }
+            // pass 2: partition-major probe, then verify hits with row
+            // prefetch (the C-row fetches are the remaining random stream)
+            for (int pi = 0; pi < NP; pi++) {
+                const auto& pp = parts[pi];
+                hits.clear();
+                for (const auto& pr : pb[pi]) {
+                    int64_t tl, tc;
+                    if (pp.find(pr.key, tl, tc)) {
+                        ncand += tc;
+                        hits.push_back({tl, tc,
+                            (int32_t)(pr.bp >> 10),
+                            (int32_t)(pr.bp & 1023)});
                     }
                 }
-                uint32_t cp = alga_base_at(rb, W, p);
-                uint32_t cn = alga_base_at(rb, W, p + k);
-                h1 = (h1 - cp * ak1) * a1 + cn;
-                h2 = (h2 - cp * ak2) * a2 + cn;
+                const int64_t D = 8;
+                int64_t nh = (int64_t)hits.size();
+                for (int64_t hI = 0; hI < nh; hI++) {
+                    if (hI + D < nh) {
+                        const Hit& hn = hits[hI + D];
+                        __builtin_prefetch(
+                            packed + (int64_t)tids[hn.tl] * W, 0, 1);
+                    }
+                    const Hit& h = hits[hI];
+                    int64_t lenB = lengths[h.B];
+                    int64_t ell = lenB - h.p;
+                    const uint32_t* rb = packed + (int64_t)h.B * W;
+                    for (int64_t j = h.tl; j < h.tl + h.tc; j++) {
+                        int32_t C = tids[j];
+                        if (C == h.B || lengths[C] < ell) continue;
+                        if (!gcpsjoin::substr_eq(
+                                rb, packed + (int64_t)C * W, W, h.p, ell))
+                            continue;
+                        out.push_back({((uint64_t)h.B << 37)
+                                       | ((uint64_t)h.p << 27)
+                                       | (uint64_t)j,
+                                       h.B, C, (int32_t)ell, 0});
+                    }
+                }
             }
+            B = Bend;
         }
+        // restore the exact single-table emission order (B, p, j)
+        std::sort(out.begin(), out.end(),
+                  [](const MatchRec4& x, const MatchRec4& y) {
+                      return x.seq < y.seq;
+                  });
         cand[t] = ncand;
     };
-    if (T == 1) {
-        job(0);
-    } else {
+    if (T == 1) job(0);
+    else {
         for (int t = 0; t < T; t++) ths.emplace_back(job, t);
         for (auto& th : ths) th.join();
     }
@@ -2301,14 +2583,14 @@ int64_t alga_gcps_join_verify_packed(
         *out_candidates = c;
     }
     int64_t total = 0;
-    for (auto& b : bufs) total += (int64_t)b.size() / 3;
+    for (auto& b : bufs) total += (int64_t)b.size();
     if (total > out_cap) return total;
     int64_t w = 0;
-    for (auto& b : bufs)
-        for (size_t i = 0; i < b.size(); i += 3) {
-            out_src[w] = b[i];
-            out_dst[w] = b[i + 1];
-            out_ell[w] = b[i + 2];
+    for (auto& b : bufs)                  // thread order == B order
+        for (const auto& m : b) {
+            out_src[w] = m.B;
+            out_dst[w] = m.C;
+            out_ell[w] = m.ell;
             w++;
         }
     return total;
@@ -2402,6 +2684,32 @@ void alga_sort_len_desc(int64_t n, const int64_t* keys, int32_t* idx) {
     for (int64_t i = 0; i < n; i++) idx[i] = (int32_t)i;
     std::sort(idx, idx + n,
               [&](int32_t a, int32_t b) { return keys[a] > keys[b]; });
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// Ragged string packing: ACGT bytes (concatenated) -> 2-bit packed rows.
+// Avoids the padded [n, max_len] byte/code matrices of the python
+// pack_strings (251 MB at the flagship trim pass).
+void alga_pack_ragged(const uint8_t* bytes, const int64_t* offsets,
+                      int64_t n, int64_t W, uint32_t* out, int threads) {
+    static uint8_t lut[256];
+    lut[(unsigned char)'C'] = 1; lut[(unsigned char)'G'] = 2;
+    lut[(unsigned char)'T'] = 3;
+    lut[(unsigned char)'c'] = 1; lut[(unsigned char)'g'] = 2;
+    lut[(unsigned char)'t'] = 3;
+    parallel_ranges(n, threads, [&](int, int64_t lo, int64_t hi) {
+        for (int64_t r = lo; r < hi; r++) {
+            const uint8_t* s = bytes + offsets[r];
+            int64_t len = offsets[r + 1] - offsets[r];
+            uint32_t* o = out + r * W;
+            for (int64_t w = 0; w < W; w++) o[w] = 0;
+            for (int64_t i = 0; i < len; i++)
+                o[i >> 4] |= (uint32_t)lut[s[i]] << ((i & 15) * 2);
+        }
+    }, 256);
 }
 
 }  // extern "C"
