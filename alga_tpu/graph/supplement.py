@@ -194,7 +194,13 @@ def _canonical_runs(rid, ind, hi, lo, read_lens):
         rest = (((2047 - ind).astype(np.uint64) << np.uint64(43))
                 | (lens_r.astype(np.uint64) << np.uint64(32))
                 | rid.astype(np.uint64))
-        order = np.lexsort((rest, lo, hi))
+        from alga_tpu import native as _nat
+        if _nat.available():
+            # 2-way parallel native stable sort (the supplement's
+            # dominant host cost at scale)
+            order = _nat.sort3_u64(hi, lo, rest)
+        else:
+            order = np.lexsort((rest, lo, hi))
     else:
         order = np.lexsort((rid, lens_r, -ind, lo, hi))
     rid_s, ind_s = rid[order], ind[order]
@@ -280,15 +286,32 @@ def _gen_candidate_pairs(rid_s, ind_s, starts, ends, read_lens, cfg,
 
 
 def _verify_pairs(a1, a2, off, codes, packed, read_lens, cfg,
-                  min_device_batch):
+                  min_device_batch, mesh=None):
     """Batch ACH verification over unique (id1, id2, offset) triples."""
     if len(a1) == 0:
         return np.zeros(0, dtype=bool)
-    trip = np.stack([a1, a2, off], axis=1)
-    uniq, inv = np.unique(trip, axis=0, return_inverse=True)
-    can = ach_batch_auto(packed, codes, read_lens,
-                         uniq[:, 0], uniq[:, 1], uniq[:, 2], cfg,
-                         min_device_batch=min_device_batch)
+    n_reads = len(read_lens)
+    if n_reads < (1 << 27) and off.min() >= 0 and off.max() < 1024:
+        # pack (a1, a2, off) into ONE u64: unique on a flat u64 is ~6x
+        # np.unique(axis=0)'s structured-sort path
+        key = ((a1.astype(np.uint64) << np.uint64(37))
+               | (a2.astype(np.uint64) << np.uint64(10))
+               | off.astype(np.uint64))
+        ukey, inv = np.unique(key, return_inverse=True)
+        u1 = (ukey >> np.uint64(37)).astype(np.int64)
+        u2 = ((ukey >> np.uint64(10)) & np.uint64((1 << 27) - 1)).astype(np.int64)
+        uo = (ukey & np.uint64(1023)).astype(np.int64)
+    else:
+        trip = np.stack([a1, a2, off], axis=1)
+        uniq, inv = np.unique(trip, axis=0, return_inverse=True)
+        u1, u2, uo = uniq[:, 0], uniq[:, 1], uniq[:, 2]
+    if mesh is not None and cfg.use_acler_instead_of_aclcs:
+        from alga_tpu.ops.align import ach_batch_mesh
+        can = ach_batch_mesh(mesh, np.asarray(packed), read_lens,
+                             u1, u2, uo, cfg)
+    else:
+        can = ach_batch_auto(packed, codes, read_lens, u1, u2, uo, cfg,
+                             min_device_batch=min_device_batch)
     return can[inv]
 
 
@@ -348,7 +371,7 @@ def _replay_runs(adj_add, rid_s, ind_s, starts, ends, pi, pj, pass_static,
 def pkb_supplement(adj_add, codes, lengths, read_lens, cfg,
                    align_from: np.ndarray, align_to: np.ndarray,
                    priorities_rotations: int = 4, packed=None,
-                   min_device_batch: int = 200_000):
+                   min_device_batch: int = 200_000, mesh=None):
     """Run the LI/PKB supplement (vectorized + device-batched verification).
 
     `adj_add` is a small adapter object with .get_offset(a, b) -> int|None
@@ -383,7 +406,8 @@ def pkb_supplement(adj_add, codes, lengths, read_lens, cfg,
                 can[sel] = _verify_pairs(
                     rid_s[pi[sel]], rid_s[pj[sel]],
                     ind_s[pi[sel]] - ind_s[pj[sel]],
-                    codes, packed, read_lens, cfg, min_device_batch)
+                    codes, packed, read_lens, cfg, min_device_batch,
+                    mesh=mesh)
             _replay_runs_auto(adj_add, rid_s, ind_s, starts, ends, pi, pj,
                               ok, can)
         priorities = priorities[1:] + priorities[:1]   # rotate (ref LI.cpp:25)

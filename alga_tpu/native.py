@@ -156,6 +156,12 @@ def get_lib():
         u64p, i32p, ctypes.c_int64,
         u32p, ctypes.c_int64,
         i32p, i32p, i32p, ctypes.c_int64, ctypes.c_int32, i64p]
+    lib.alga_sort3_u64.restype = None
+    lib.alga_sort3_u64.argtypes = [
+        np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS"),
+        ctypes.c_int64, i64p, ctypes.c_int32]
     lib.alga_pack_ragged.restype = None
     lib.alga_pack_ragged.argtypes = [
         u8p, i64p, ctypes.c_int64, ctypes.c_int64, u32p, ctypes.c_int32]
@@ -689,3 +695,13 @@ def pack_ragged(seqs, width_words: int | None = None):
             b = np.zeros(1, dtype=np.uint8)
         lib.alga_pack_ragged(np.ascontiguousarray(b), offsets, n, W, out, 0)
     return out[:n], lens
+
+def sort3_u64(hi, lo, rest, threads: int = 0) -> np.ndarray:
+    """int64[n] stable permutation == np.lexsort((rest, lo, hi))."""
+    lib = get_lib()
+    hi = np.ascontiguousarray(hi, dtype=np.uint64)
+    lo = np.ascontiguousarray(lo, dtype=np.uint64)
+    rest = np.ascontiguousarray(rest, dtype=np.uint64)
+    order = np.empty(max(len(hi), 1), dtype=np.int64)
+    lib.alga_sort3_u64(hi, lo, rest, len(hi), order, threads)
+    return order[: len(hi)]

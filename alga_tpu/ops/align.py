@@ -405,3 +405,59 @@ def np_ach_can_align(codes, lengths, i1, i2, offset, cfg) -> bool:
         return False
     lcs = np_banded_lcs(codes, lengths, i1, i2, offset, cfg.max_error_rate_for_lcs)
     return 100 * lcs > cfg.minimal_overlap_rate_for_lcs * overlap
+
+
+def ach_batch_mesh(mesh, packed, lengths, r1, r2, offsets, cfg) -> np.ndarray:
+    """bool[M]: ACH verification SHARDED over the mesh (no reference
+    counterpart — SURVEY §2.10): pairs split on the 'r' axis via
+    shard_map, the packed store replicated on every device, results
+    all-gathered.  ACLER-only configuration (the supplement's retuned
+    default, use_acler_instead_of_aclcs=True); callers with the LCS
+    fallback enabled must use ach_batch_auto."""
+    import jax
+    from functools import partial
+    from jax.sharding import PartitionSpec as P
+
+    assert cfg.use_acler_instead_of_aclcs, \
+        "mesh ACH path is ACLER-only (the supplement's live configuration)"
+    from alga_tpu.utils.timers import bump
+    m = len(r1)
+    bump("ach_total_alignments", m)
+    if m == 0:
+        return np.zeros(0, dtype=bool)
+    d = int(mesh.devices.size)
+    # pad to a multiple of d (plus lane quantum) with offset -1 lanes that
+    # fail the offsets >= 0 guard
+    q = d * 128
+    cap = -(-m // q) * q
+    r1p = np.zeros(cap, dtype=np.int32)
+    r2p = np.zeros(cap, dtype=np.int32)
+    op = np.full(cap, -1, dtype=np.int32)
+    r1p[:m] = r1
+    r2p[:m] = r2
+    op[:m] = offsets
+    num_words = packed.shape[1]
+    lengths32 = np.asarray(lengths, dtype=np.int32)
+
+    @partial(jax.shard_map, mesh=mesh, check_vma=False,
+             in_specs=(P(), P(), P("r"), P("r"), P("r")), out_specs=P("r"))
+    def step(packed_l, lens_l, a, b, o):
+        return acler_batch(
+            packed_l, lens_l, a, b, o, num_words,
+            cfg.max_offset_considered_for_alignment, cfg.min_overlap_area,
+            cfg.minimal_overlap_for_lcs_low_error,
+            cfg.alignment_controller_same_ends_length)
+
+    import jax.numpy as jnp
+    acler = np.asarray(step(jnp.asarray(packed), jnp.asarray(lengths32),
+                            jnp.asarray(r1p), jnp.asarray(r2p),
+                            jnp.asarray(op)))[:m]
+    lengths = np.asarray(lengths, dtype=np.int64)
+    len1 = lengths[np.asarray(r1, dtype=np.int64)]
+    len2 = lengths[np.asarray(r2, dtype=np.int64)]
+    offsets = np.asarray(offsets, dtype=np.int64)
+    guards = (offsets >= cfg.min_offset_for_alignment) & \
+             (len2 + offsets - len1 >= 0)
+    ok = acler & guards
+    bump("ach_low_error_approved", int(ok.sum()))
+    return ok

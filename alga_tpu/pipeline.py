@@ -194,7 +194,7 @@ class SupplementAdj:
         return merged.retain_min_offset()
 
 
-def run_supplement(g, batch: SeqBatch, tcfg: TunedConfig):
+def run_supplement(g, batch: SeqBatch, tcfg: TunedConfig, mesh=None):
     """LI/PKB supplement wiring (ref main.cpp:300-355).
 
     Dead-end/orphan masks: indeg==0&&outdeg>0 gets alignTo,
@@ -212,8 +212,12 @@ def run_supplement(g, batch: SeqBatch, tcfg: TunedConfig):
     adapter = SupplementAdj(g)
     # codes=None: LI k-mer extraction and the host ACH fallback unpack
     # per-chunk from the packed store (memory diet — no uint8[N, L] matrix)
+    # mesh: pair verification (the ACH kernel) runs sharded over the
+    # devices; extraction is per-read native and the branch-marker replay
+    # is sequential by the reference's own semantics (PKB.cpp:16-94)
     supp.pkb_supplement(adapter, None, batch.lengths, batch.lengths, scfg,
-                        align_from, align_to, packed=batch.packed)
+                        align_from, align_to, packed=batch.packed,
+                        mesh=mesh)
     out = adapter.to_graph()
     _log(f"supplement: {out.num_edges - g.num_edges:+d} edges")
     return out
@@ -326,7 +330,7 @@ def assemble(cfg: AssemblyConfig,
     # --- error-tolerant LI/PKB supplement (ref main.cpp:300-355) ------------
     if tcfg.use_supplement:
         with timers.phase("graph_creator_supplement"):
-            g = run_supplement(g, batch, tcfg)
+            g = run_supplement(g, batch, tcfg, mesh=mesh)
 
     # isolated reads out (ref main.cpp:358-359)
     iso = g.isolated_nodes()

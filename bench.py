@@ -30,6 +30,15 @@ import numpy as np
 
 REF_BASELINE_READS_PER_S = 25206.0  # measured: see module docstring
 
+# 920k-slot scale anchor (4.6Mb genome, 230k pairs, seed 42): reference
+# --threads 1 measured 2026-08-21 interleaved with our runs on the same
+# host, best of 2 = 30.8s for 460k file reads (BASELINE.md round 5).
+REF_SCALE_READS_PER_S = 14935.0
+SCALE_GENOME_LEN = 4_600_000
+SCALE_COVERAGE = 10.0
+SCALE_SEED = 42
+SCALE_DIR = "/tmp/alga_bench_scale"
+
 GENOME_LEN = 200_000
 READ_LEN = 100
 COVERAGE = 20
@@ -279,6 +288,16 @@ def main() -> int:
         headline["error_path_reads_per_s"] = round(_error_path_bench(), 1)
     except Exception as e:
         print(f"[bench] error-path bench failed: {e!r}", file=sys.stderr)
+    try:
+        scale = _scale_bench()
+        headline.update(scale)
+    except Exception as e:
+        print(f"[bench] scale bench failed: {e!r}", file=sys.stderr)
+    try:
+        cold = _fresh_process_cold_starts()
+        headline.update(cold)
+    except Exception as e:
+        print(f"[bench] fresh-process bench failed: {e!r}", file=sys.stderr)
 
     # FINAL stdout line = the headline object with all secondary metrics
     # folded in; nothing may print JSON after this
@@ -337,3 +356,108 @@ def _error_path_bench():
 
 if __name__ == "__main__":
     sys.exit(main())
+
+
+def _ensure_scale_dataset():
+    """Generate-or-reuse the cached 920k-slot FASTQ pair (seed 42)."""
+    import os
+    r1p = os.path.join(SCALE_DIR, "r1.fastq")
+    r2p = os.path.join(SCALE_DIR, "r2.fastq")
+    if os.path.exists(r1p) and os.path.exists(r2p):
+        return r1p, r2p
+    os.makedirs(SCALE_DIR, exist_ok=True)
+    comp = str.maketrans("ACGT", "TGCA")
+    rng = np.random.default_rng(SCALE_SEED)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    genome = bases[rng.integers(0, 4, size=SCALE_GENOME_LEN)].tobytes().decode()
+    n_frags = int(SCALE_GENOME_LEN * SCALE_COVERAGE / 200)
+    with open(r1p + ".tmp", "w") as f1, open(r2p + ".tmp", "w") as f2:
+        for i in range(n_frags):
+            p = int(rng.integers(0, SCALE_GENOME_LEN - 300 + 1))
+            frag = genome[p : p + 300]
+            a = frag[:100]
+            b = frag[-100:].translate(comp)[::-1]
+            if rng.random() < 0.5:
+                a, b = b.translate(comp)[::-1], a.translate(comp)[::-1]
+            f1.write(f"@r{i}\n{a}\n+\n{'I' * 100}\n")
+            f2.write(f"@r{i}\n{b}\n+\n{'I' * 100}\n")
+    os.replace(r1p + ".tmp", r1p)
+    os.replace(r2p + ".tmp", r2p)
+    return r1p, r2p
+
+
+def _scale_bench():
+    """920k-slot e2e in a fresh CPU-backend subprocess (the host-engine
+    number the BASELINE.md scale A/B tracks; the chip-path scale numbers
+    live in BASELINE.md).  Best of 2 warm-cache runs."""
+    import os
+    import subprocess
+    r1p, r2p = _ensure_scale_dataset()
+    code = (
+        "import sys, time; sys.path.insert(0, %r)\n"
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "from alga_tpu.config import AssemblyConfig\n"
+        "from alga_tpu.pipeline import assemble_to_file\n"
+        "t0 = time.perf_counter()\n"
+        "assemble_to_file(AssemblyConfig(file1=%r, file2=%r,\n"
+        "    output=%r, threads=2))\n"
+        "print('SCALE_WALL', time.perf_counter() - t0)\n"
+    ) % (os.path.dirname(os.path.abspath(__file__)), r1p, r2p,
+         os.path.join(SCALE_DIR, "contigs.fasta"))
+    best = None
+    for run in range(2):
+        out = subprocess.run([sys.executable, "-c", code], timeout=900,
+                             capture_output=True, text=True)
+        wall = None
+        for line in out.stdout.splitlines():
+            if line.startswith("SCALE_WALL"):
+                wall = float(line.split()[1])
+        if wall is None:
+            print(f"[bench] scale run{run} failed: "
+                  f"{out.stderr[-400:]}", file=sys.stderr)
+            continue
+        print(f"[bench] scale run{run}: 460000 reads in {wall:.2f}s",
+              file=sys.stderr)
+        best = wall if best is None else min(best, wall)
+    if best is None:
+        raise RuntimeError("scale bench produced no result")
+    rps = 460_000 / best
+    return {
+        "scale_reads_per_s": round(rps, 1),
+        "scale_vs_baseline": round(rps / REF_SCALE_READS_PER_S, 3),
+    }
+
+
+def _fresh_process_cold_starts():
+    """Cold start of 3 FRESH processes on the default backend with the
+    persistent compile cache enabled (VERDICT r4 item 4): best/worst
+    wall for the standard bench dataset."""
+    import os
+    import subprocess
+    code = (
+        "import sys, time; sys.path.insert(0, %r)\n"
+        "sys.argv = ['bench_fresh']\n"
+        "import bench\n"
+        "genome, reads = bench._simulate()\n"
+        "from alga_tpu.config import AssemblyConfig\n"
+        "from alga_tpu.pipeline import assemble\n"
+        "t0 = time.perf_counter()\n"
+        "assemble(AssemblyConfig(), file1_seqs=reads)\n"
+        "print('FRESH_WALL', time.perf_counter() - t0)\n"
+    ) % (os.path.dirname(os.path.abspath(__file__)),)
+    walls = []
+    for run in range(3):
+        out = subprocess.run([sys.executable, "-c", code], timeout=900,
+                             capture_output=True, text=True,
+                             env={**os.environ})
+        for line in out.stdout.splitlines():
+            if line.startswith("FRESH_WALL"):
+                walls.append(float(line.split()[1]))
+                print(f"[bench] fresh-process run{run}: {walls[-1]:.2f}s",
+                      file=sys.stderr)
+    if not walls:
+        raise RuntimeError("fresh-process bench produced no result")
+    return {
+        "cold_start_fresh_best_s": round(min(walls), 2),
+        "cold_start_fresh_worst_s": round(max(walls), 2),
+    }

@@ -2713,3 +2713,36 @@ void alga_pack_ragged(const uint8_t* bytes, const int64_t* offsets,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Stable 3-key u64 sort permutation (np.lexsort((rest, lo, hi)) twin):
+// the supplement's dominant sort — 2-way parallel over 32-byte recs.
+void alga_sort3_u64(const uint64_t* hi, const uint64_t* lo,
+                    const uint64_t* rest, int64_t n, int64_t* order,
+                    int threads) {
+    struct Rec { uint64_t hi, lo, rest; int64_t idx; };
+    std::vector<Rec> v(n);
+    parallel_ranges(n, threads, [&](int, int64_t a, int64_t b) {
+        for (int64_t i = a; i < b; i++) v[i] = {hi[i], lo[i], rest[i], i};
+    }, 4096);
+    auto cmp = [](const Rec& x, const Rec& y) {
+        if (x.hi != y.hi) return x.hi < y.hi;
+        if (x.lo != y.lo) return x.lo < y.lo;
+        if (x.rest != y.rest) return x.rest < y.rest;
+        return x.idx < y.idx;             // strict total == stable
+    };
+    int T = resolve_threads(threads);
+    if (force_seq() || n < (1 << 16) || T < 2) {
+        std::sort(v.begin(), v.end(), cmp);
+    } else {
+        int64_t mid = n / 2;
+        std::thread th([&] { std::sort(v.begin(), v.begin() + mid, cmp); });
+        std::sort(v.begin() + mid, v.end(), cmp);
+        th.join();
+        std::inplace_merge(v.begin(), v.begin() + mid, v.end(), cmp);
+    }
+    for (int64_t i = 0; i < n; i++) order[i] = v[i].idx;
+}
+
+}  // extern "C"
