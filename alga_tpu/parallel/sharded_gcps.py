@@ -521,24 +521,37 @@ def gcps_graph_sharded(mesh: Mesh, packed_np, lengths_np, n: int,
     af = np.ones(n, bool) if align_from is None else np.asarray(align_from, bool)
     at = np.ones(n, bool) if align_to is None else np.asarray(align_to, bool)
 
-    # pad reads to a multiple of the mesh size (length 0 => never joins)
-    npad = -(-n // d) * d
-    if npad != n:
-        packed_np = np.vstack(
-            [packed_np, np.zeros((npad - n, packed_np.shape[1]),
-                                 dtype=packed_np.dtype)])
-        lengths = np.append(lengths, np.zeros(npad - n, np.int32))
-        af = np.append(af, np.zeros(npad - n, bool))
-        at = np.append(at, np.zeros(npad - n, bool))
+    shard = NamedSharding(mesh, P("r", None))
+    shard1 = NamedSharding(mesh, P("r"))
+    if isinstance(packed_np, jax.Array):
+        # pre-sharded device store (the distributed pipeline's ingest
+        # layout): rows beyond n are padding; masks cover validity
+        npad = int(packed_np.shape[0])
+        assert npad % d == 0
+        packed_d = packed_np
+        w_full = int(packed_np.shape[1])
+        pad = npad - len(lengths)
+        if pad:
+            lengths = np.append(lengths, np.zeros(pad, np.int32))
+            af = np.append(af, np.zeros(pad, bool))
+            at = np.append(at, np.zeros(pad, bool))
+    else:
+        # pad reads to a multiple of the mesh size (length 0 => never joins)
+        npad = -(-n // d) * d
+        if npad != n:
+            packed_np = np.vstack(
+                [packed_np, np.zeros((npad - n, packed_np.shape[1]),
+                                     dtype=packed_np.dtype)])
+            lengths = np.append(lengths, np.zeros(npad - n, np.int32))
+            af = np.append(af, np.zeros(npad - n, bool))
+            at = np.append(at, np.zeros(npad - n, bool))
+        w_full = packed_np.shape[1]
+        packed_d = _put(np.ascontiguousarray(packed_np), shard)
     per = npad // d
 
     num_windows = max_len - k + 1
-    w_full = packed_np.shape[1]
     w_verify = packing.words_for(min(max_len, cap))
 
-    shard = NamedSharding(mesh, P("r", None))
-    shard1 = NamedSharding(mesh, P("r"))
-    packed_d = _put(np.ascontiguousarray(packed_np), shard)
     lengths_d = _put(lengths, shard1)
     af_d = _put(af, shard1)
     at_d = _put(at, shard1)
