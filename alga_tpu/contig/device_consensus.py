@@ -20,6 +20,18 @@ contig —
 Only the decided base row (uint8[G]) and the per-contig (p, q) bounds
 cross device->host; the host assembles the final strings.  Bit-identical
 to contig/consensus.correct_all (the oracle) — tests/test_contig.py.
+
+ROUTING DECISION (round 5, VERDICT r4 item 10): measured A/Bs never
+favored this path on available hardware — 920k-slot config: 25.1s device
+(incl. its compiles + the uint8[G] fetch over the tunneled link) vs
+0.40s host native (BASELINE.md r4); the round-5 session's tunnel was
+slower still.  The consensus pass is ~0.3% of e2e wall on the native
+engine, so there is no bandwidth-bound niche for it single-host.  It
+stays OPT-IN (ALGA_DEVICE_CONSENSUS=1), bit-parity-tested, as the
+building block a true multi-host deployment (store device-resident,
+contigs sharded, no host engine on the hosts) would route to — a
+deployment that cannot be measured in this one-chip environment.  The
+production default is the host native engine everywhere.
 """
 
 from __future__ import annotations
