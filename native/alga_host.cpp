@@ -496,6 +496,25 @@ int64_t alga_simplify_graph_old(
 // for the one pointer-surgery pass that stays on the host).  Input edges
 // must already be in the caller's canonical order; output is the exact
 // post-pass adjacency dump in (src, offset, dst) sorted order.
+// Apply an explicit pop plan (the mesh-discovered wave order of
+// parallel/sharded_simplify.mst_pass_sharded): the host does only the
+// O(changes) edge surgery, in C (VERDICT r4 item 9).
+int64_t alga_mst_pops(
+    int32_t n, int64_t ne, const int32_t* src, const int32_t* dst,
+    const int32_t* off, const int32_t* seeds, int64_t ns,
+    int32_t mopp_scaled,
+    int32_t* out_src, int32_t* out_dst, int32_t* out_off) {
+    Adj g;
+    g.init(n, ne, src, dst, off);
+    g.sort_by_offset();
+    for (int64_t i = 0; i < ns; i++) {
+        int beg = seeds[i];
+        if (g.out[beg].size() >= 2) mst_pop(g, beg, mopp_scaled);
+    }
+    g.sort_by_offset();
+    return g.dump(out_src, out_dst, out_off);
+}
+
 int64_t alga_mst_pass(
     int32_t n, int64_t ne, const int32_t* src, const int32_t* dst,
     const int32_t* off, int32_t mopp_scaled, int32_t threads,
