@@ -232,6 +232,16 @@ def _gen_candidate_pairs(rid_s, ind_s, starts, ends, read_lens, cfg,
         z = np.zeros(0, dtype=np.int64)
         return z, z.copy(), np.zeros(0, dtype=bool)
 
+    from alga_tpu import native as _nat
+    if _nat.available():
+        # native twin (two-pass count+fill; the numpy formulation below is
+        # the oracle, differential-tested in tests/test_supplement.py)
+        return _nat.pkb_pairgen(
+            rid_s, ind_s, starts, ends, read_lens,
+            cfg.max_offset_considered_for_alignment,
+            cfg.min_offset_for_alignment, cfg.min_overlap_area,
+            align_from, align_to)
+
     sizes = ends - starts
     tot_members = int(sizes.sum())
     member = np.repeat(starts, sizes) + (

@@ -160,6 +160,11 @@ def get_lib():
         u64p, i32p, ctypes.c_int64,
         u32p, ctypes.c_int64,
         i32p, i32p, i32p, ctypes.c_int64, ctypes.c_int32, i64p]
+    lib.alga_pkb_pairgen.restype = ctypes.c_int64
+    lib.alga_pkb_pairgen.argtypes = [
+        i64p, i64p, ctypes.c_int64, i64p, i64p, ctypes.c_int64, i64p,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        u8p, u8p, ctypes.c_int32, i64p, i64p, u8p, ctypes.c_int32]
     lib.alga_sort3_u64.restype = None
     lib.alga_sort3_u64.argtypes = [
         np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS"),
@@ -727,3 +732,29 @@ def mst_pops(g, seeds, mopp_scaled: int):
                           mopp_scaled, out_src, out_dst, out_off)
     return OverlapGraph(g.n, out_src[:m].copy(), out_dst[:m].copy(),
                         out_off[:m].copy())
+
+def pkb_pairgen(rid_s, ind_s, starts, ends, lens, moc: int, min_off: int,
+                min_ovl: int, af, at, threads: int = 0):
+    """(pi, pj, ok): native twin of supplement._gen_candidate_pairs
+    (identical layout: i asc, j asc, grouped per i)."""
+    lib = get_lib()
+    rid_s = np.ascontiguousarray(rid_s, dtype=np.int64)
+    ind_s = np.ascontiguousarray(ind_s, dtype=np.int64)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    ends = np.ascontiguousarray(ends, dtype=np.int64)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    afc = np.ascontiguousarray(af, dtype=np.uint8)
+    atc = np.ascontiguousarray(at, dtype=np.uint8)
+    z = np.zeros(1, dtype=np.int64)
+    zb = np.zeros(1, dtype=np.uint8)
+    total = lib.alga_pkb_pairgen(rid_s, ind_s, len(rid_s), starts, ends,
+                                 len(starts), lens, moc, min_off, min_ovl,
+                                 afc, atc, 0, z, z, zb, threads)
+    pi = np.empty(max(total, 1), dtype=np.int64)
+    pj = np.empty(max(total, 1), dtype=np.int64)
+    ok = np.empty(max(total, 1), dtype=np.uint8)
+    if total:
+        lib.alga_pkb_pairgen(rid_s, ind_s, len(rid_s), starts, ends,
+                             len(starts), lens, moc, min_off, min_ovl,
+                             afc, atc, 1, pi, pj, ok, threads)
+    return pi[:total], pj[:total], ok[:total].astype(bool)

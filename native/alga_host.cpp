@@ -2765,3 +2765,70 @@ void alga_sort3_u64(const uint64_t* hi, const uint64_t* lo,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Supplement candidate-pair emission (twin of supplement._gen_candidate_
+// pairs; ref PKB.cpp:33-62): for each record i of a run, every later
+// record j up to the reference's monotone break
+// 100*(ind_i - ind_j) > MOC*len_i, with the static `continue` guards
+// evaluated into `ok`.  Layout: i asc, j asc, grouped per i — the
+// contract _replay_runs relies on.  mode 0 counts, mode 1 fills.
+int64_t alga_pkb_pairgen(
+    const int64_t* rid_s, const int64_t* ind_s, int64_t nrec,
+    const int64_t* starts, const int64_t* ends, int64_t nruns,
+    const int64_t* lens,
+    int32_t moc, int32_t min_off, int32_t min_ovl,
+    const uint8_t* af, const uint8_t* at,
+    int32_t mode, int64_t* pi, int64_t* pj, uint8_t* ok, int threads) {
+    std::vector<int64_t> run_counts(nruns, 0);
+    parallel_ranges(nruns, threads, [&](int, int64_t a, int64_t b) {
+        for (int64_t r = a; r < b; r++) {
+            int64_t c = 0;
+            for (int64_t i = starts[r]; i < ends[r]; i++) {
+                if (!af[rid_s[i]]) continue;
+                int64_t lim = (int64_t)moc * lens[rid_s[i]];
+                for (int64_t j = i + 1; j < ends[r]; j++) {
+                    if (100 * (ind_s[i] - ind_s[j]) > lim) break;
+                    c++;
+                }
+            }
+            run_counts[r] = c;
+        }
+    }, 64);
+    int64_t total = 0;
+    for (auto c : run_counts) total += c;
+    if (mode == 0) return total;
+
+    std::vector<int64_t> run_base(nruns + 1, 0);
+    for (int64_t r = 0; r < nruns; r++)
+        run_base[r + 1] = run_base[r] + run_counts[r];
+    parallel_ranges(nruns, threads, [&](int, int64_t a, int64_t b) {
+        for (int64_t r = a; r < b; r++) {
+            int64_t w = run_base[r];
+            for (int64_t i = starts[r]; i < ends[r]; i++) {
+                int64_t id1 = rid_s[i];
+                if (!af[id1]) continue;
+                int64_t len1 = lens[id1];
+                int64_t lim = (int64_t)moc * len1;
+                for (int64_t j = i + 1; j < ends[r]; j++) {
+                    int64_t off = ind_s[i] - ind_s[j];
+                    if (100 * off > lim) break;
+                    int64_t id2 = rid_s[j];
+                    int64_t len2 = lens[id2];
+                    int64_t ovl = (len1 < len2 + off ? len1 : len2 + off)
+                                  - off;
+                    pi[w] = i;
+                    pj[w] = j;
+                    ok[w] = (at[id2] && id1 != id2 && off >= min_off
+                             && ovl >= min_ovl
+                             && len2 + off - len1 >= 0) ? 1 : 0;
+                    w++;
+                }
+            }
+        }
+    }, 64);
+    return total;
+}
+
+}  // extern "C"

@@ -163,3 +163,46 @@ def test_li_kmers_native_matches_oracle(rng):
             got = native_mod.li_kmers_native(packed, lens, ids, pri, k, iv)
             for a, b in zip(got, want):
                 np.testing.assert_array_equal(a, b)
+
+
+def test_pairgen_native_vs_numpy(rng):
+    """Round-5 native pairgen == the numpy formulation (identical arrays
+    incl. layout and ok flags)."""
+    import unittest.mock as mock
+
+    from alga_tpu import native
+    from alga_tpu.config import AssemblyConfig, autotune, supplement_retune
+    from alga_tpu.graph import supplement as supp
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    n = 300
+    lens = rng.integers(60, 120, n).astype(np.int64)
+    cfg = supplement_retune(autotune(AssemblyConfig(error_rate=0.02), 100.0),
+                            100.0)
+    # synthetic sorted runs: ~40 runs of records with ind descending
+    rid, ind, starts, ends = [], [], [], []
+    pos = 0
+    for _ in range(40):
+        sz = int(rng.integers(2, 12))
+        starts.append(pos)
+        ids = rng.integers(0, n, sz)
+        iv = np.sort(rng.integers(0, 60, sz))[::-1]
+        rid.extend(ids.tolist())
+        ind.extend(iv.tolist())
+        pos += sz
+        ends.append(pos)
+    rid_s = np.asarray(rid, dtype=np.int64)
+    ind_s = np.asarray(ind, dtype=np.int64)
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.asarray(ends, dtype=np.int64)
+    at = np.ones(n, bool)
+    af = np.ones(n, bool)
+    af[rng.integers(0, n, 20)] = False
+    got = supp._gen_candidate_pairs(rid_s, ind_s, starts, ends, lens, cfg,
+                                    af, at)
+    with mock.patch.object(native, "available", lambda: False):
+        want = supp._gen_candidate_pairs(rid_s, ind_s, starts, ends, lens,
+                                         cfg, af, at)
+    for g, w in zip(got, want):
+        assert np.array_equal(g, w)
+    assert got[2].any() and not got[2].all()
